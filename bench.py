@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: the judged primary metric (BASELINE.json line 2) —
+samples/sec/chip for a combined G+D train step at 256x256 fields
+(full pix2pix: unet_256 G + basic PatchGAN D, vanilla GAN + L1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no number capturable in this
+environment (BASELINE.md), so the denominator is OUR round-1 f32
+single-chip measurement (REF_R1 below) — i.e. vs_baseline tracks speedup
+over this build's own first baseline. Update BASELINE.md when re-measuring.
+
+Env knobs: BENCH_DTYPE=float32|bfloat16 (default bfloat16: MXU-native),
+BENCH_BATCH (default 16), BENCH_STEPS (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from biasgan_tpu.config import merge_config_cls, TrainConfig
+from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
+
+# Round-1 f32 reference point (samples/sec/chip on TPU v5e, this repo @ r1).
+REF_R1 = None  # filled after first TPU measurement; None -> vs_baseline=1.0
+
+
+def main():
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    cls = merge_config_cls(TrainConfig, Pix2PixConfig)
+    cfg = cls(
+        model="pix2pix", netG="unet_256", netD="basic", norm="batch",
+        gan_mode="vanilla", pool_size=0, no_dropout=False,
+        crop_size=256, input_nc=3, output_nc=3, batch_size=batch,
+        ngf=64, ndf=64, steps_per_epoch=1000, compute_dtype=dtype,
+        checkpoints_dir="/tmp/bgt_bench", name="bench",
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.float32)
+    batch_data = {"A": a, "B": jnp.tanh(a)}
+
+    # warmup (compile + 2 steps)
+    for i in range(3):
+        state, losses, _ = step(state, batch_data, jax.random.fold_in(rng, i))
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, losses, _ = step(state, batch_data, jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = batch * steps / dt
+    vs = samples_per_sec / REF_R1 if REF_R1 else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "pix2pix_256_G+D_train_step",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

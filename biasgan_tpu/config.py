@@ -1,0 +1,236 @@
+"""Dataclass config system with per-model/per-dataset flag injection.
+
+Capability parity with the reference's three-tier argparse options
+(``options/{base,train,test}_options.py``, SURVEY.md section 2.2 [K]), including
+its two signature behaviors:
+
+* **dynamic flag injection** — after ``--model`` / ``--dataset_mode`` are
+  known, the chosen plugins' extra config fields are added to the CLI
+  (reference: ``modify_commandline_options``);
+* **reproducibility dump** — the resolved config is printed and persisted
+  (JSON) next to the checkpoints (reference: ``opt.txt``).
+
+TPU extensions: compute dtype, mesh shape for data-parallel training and
+spatial sharding for full-globe inference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class BaseConfig:
+    # experiment
+    dataroot: str = ""
+    name: str = "experiment"
+    checkpoints_dir: str = "./checkpoints"
+    seed: int = 0
+    suffix: str = ""
+    verbose: bool = False
+    phase: str = "train"
+    # model selection (reference --model/--netG/--netD/...)
+    model: str = "pix2pix"
+    netG: str = "unet_256"
+    netD: str = "basic"
+    ngf: int = 64
+    ndf: int = 64
+    n_layers_D: int = 3
+    norm: str = "batch"
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    no_dropout: bool = False
+    input_nc: int = 3
+    output_nc: int = 3
+    direction: str = "AtoB"
+    # data
+    dataset_mode: str = "aligned"
+    batch_size: int = 1
+    load_size: int = 286
+    crop_size: int = 256
+    max_dataset_size: int = -1  # -1 = unlimited (reference: inf)
+    preprocess: str = "resize_and_crop"
+    no_flip: bool = False
+    serial_batches: bool = False
+    num_threads: int = 4
+    # checkpoint selection
+    epoch: str = "latest"
+    load_iter: int = 0
+    # --- TPU-native extensions ---
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU-friendly compute
+    data_mesh: int = 1  # data-parallel mesh size (1 = single device)
+    spatial_mesh: int = 1  # width-axis sharding for full-globe inference
+    # periodic-longitude padding for global fields ('' = architecture default)
+    w_pad_mode: str = ""
+    # in-graph augmentation (climate/synthetic data; image datasets flip on host)
+    in_graph_aug: bool = False
+    aug_lon_roll: bool = False
+    # generator output activation: 'tanh' (images) | 'none' (standardized fields)
+    netG_activation: str = "tanh"
+
+    def resolved_name(self) -> str:
+        if self.suffix:
+            return f"{self.name}_{self.suffix.format(**dataclasses.asdict(self))}"
+        return self.name
+
+    def run_dir(self) -> str:
+        return os.path.join(self.checkpoints_dir, self.resolved_name())
+
+    def dropout(self) -> bool:
+        return not self.no_dropout
+
+
+@dataclass
+class TrainConfig(BaseConfig):
+    # schedule lengths (reference --n_epochs / --n_epochs_decay)
+    n_epochs: int = 100
+    n_epochs_decay: int = 100
+    epoch_count: int = 1
+    # optimization
+    lr: float = 2e-4
+    beta1: float = 0.5
+    gan_mode: str = "lsgan"
+    pool_size: int = 50
+    lr_policy: str = "linear"  # linear | step | plateau | cosine
+    lr_decay_iters: int = 50
+    continue_train: bool = False
+    # logging / checkpoint cadence
+    print_freq: int = 100
+    save_latest_freq: int = 5000
+    save_epoch_freq: int = 5
+    save_by_iter: bool = False
+    display_freq: int = 400
+    # dataset-size dependent; set by the driver for in-graph LR schedules
+    steps_per_epoch: int = 0
+
+
+@dataclass
+class TestConfig(BaseConfig):
+    results_dir: str = "./results"
+    aspect_ratio: float = 1.0
+    num_test: int = 50
+    eval: bool = False
+    phase: str = "test"
+    # test-time loader defaults (reference TestOptions hardcodes these)
+    batch_size: int = 1
+    serial_batches: bool = True
+    no_flip: bool = True
+    num_threads: int = 0
+    load_size: int = 256  # reference parity: load_size = crop_size at test
+
+
+# ---------------------------------------------------------------------------
+# dataclass -> argparse
+# ---------------------------------------------------------------------------
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls, seen: set) -> None:
+    for f in fields(cls):
+        if f.name in seen:
+            continue
+        seen.add(f.name)
+        default = f.default if f.default is not dataclasses.MISSING else None
+        arg = "--" + f.name
+        if f.type in (bool, "bool"):
+            parser.add_argument(arg, action=argparse.BooleanOptionalAction, default=default)
+        elif f.type in (int, "int"):
+            parser.add_argument(arg, type=int, default=default)
+        elif f.type in (float, "float"):
+            parser.add_argument(arg, type=float, default=default)
+        else:
+            parser.add_argument(arg, type=str, default=default)
+
+
+def parse_config(argv: Optional[List[str]] = None, train: bool = True):
+    """Two-phase parse mirroring the reference's ``gather_options``:
+    1) parse --model/--dataset_mode with defaults,
+    2) merge the plugin config dataclasses (their fields become CLI flags and
+       their field defaults override the base defaults),
+    3) final parse, build the merged config object.
+    """
+    from biasgan_tpu import registry
+
+    base_cls = TrainConfig if train else TestConfig
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--model", type=str, default=base_cls().model)
+    pre.add_argument("--dataset_mode", type=str, default=None)
+    known, _ = pre.parse_known_args(argv)
+
+    model_cls = registry.get_model(known.model)
+    model_cfg_cls = registry.get_model_config(known.model)
+    extra_cfgs = [c for c in [model_cfg_cls] if c is not None]
+
+    # model may force a different default dataset_mode
+    model_defaults = getattr(model_cls, "config_defaults", lambda train: {})(train)
+    dataset_mode = known.dataset_mode or model_defaults.get(
+        "dataset_mode", base_cls().dataset_mode
+    )
+    ds_cls = registry.get_dataset(dataset_mode)
+    ds_cfg_cls = registry.get_dataset_config(dataset_mode)
+    if ds_cfg_cls is not None:
+        extra_cfgs.append(ds_cfg_cls)
+    ds_defaults = getattr(ds_cls, "config_defaults", lambda train: {})(train)
+
+    parser = argparse.ArgumentParser(
+        description="biasgan_tpu", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    seen: set = set()
+    _add_dataclass_args(parser, base_cls, seen)
+    for c in extra_cfgs:
+        _add_dataclass_args(parser, c, seen)
+
+    # apply model/dataset-declared defaults (reference modify_commandline_options)
+    defaults = dict(ds_defaults)
+    defaults.update(model_defaults)
+    defaults["dataset_mode"] = dataset_mode
+    parser.set_defaults(**{k: v for k, v in defaults.items() if k in seen})
+    ns = parser.parse_args(argv)
+
+    cfg_cls = merge_config_cls(base_cls, *extra_cfgs)
+    valid = {f.name for f in fields(cfg_cls)}
+    return cfg_cls(**{k: v for k, v in vars(ns).items() if k in valid})
+
+
+_MERGED_CACHE = {}
+
+
+def merge_config_cls(base_cls, *extras):
+    """Create (and cache) a dataclass combining base + plugin config fields."""
+    key = (base_cls,) + tuple(extras)
+    if key in _MERGED_CACHE:
+        return _MERGED_CACHE[key]
+    cls = base_cls
+    for extra in extras:
+        new_fields = [
+            (f.name, f.type, f)
+            for f in fields(extra)
+            if f.name not in {g.name for g in fields(cls)}
+        ]
+        cls = dataclasses.make_dataclass(
+            f"{cls.__name__}_{extra.__name__}", new_fields, bases=(cls,)
+        )
+    _MERGED_CACHE[key] = cls
+    return cls
+
+
+def save_config(cfg, path: Optional[str] = None) -> str:
+    """Persist the resolved config (reference: opt.txt) as JSON."""
+    run_dir = cfg.run_dir()
+    os.makedirs(run_dir, exist_ok=True)
+    path = path or os.path.join(run_dir, f"{cfg.phase}_config.json")
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
+    return path
+
+
+def format_config(cfg) -> str:
+    lines = ["----------------- Config ---------------"]
+    for k, v in sorted(dataclasses.asdict(cfg).items()):
+        lines.append(f"{k}: {v}")
+    lines.append("----------------- End -------------------")
+    return "\n".join(lines)

@@ -1,0 +1,81 @@
+"""Data layer: name-keyed dataset registry + batching loader.
+
+Capability parity with the reference's ``data/__init__.py``
+(``create_dataset(opt)`` -> iterable of dicts {'A','B','A_paths','B_paths'},
+SURVEY.md section 2.2 [K]). Arrays are NHWC float32 in [-1, 1].
+
+TPU-first differences: batches have STATIC shapes (the loader drops a ragged
+final batch — XLA compiles one train step, period), and heavy augmentation
+(flips / periodic-longitude rolls / standardization) runs in-graph keyed by
+the step rng (data/transforms.py), not in host worker processes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List
+
+import numpy as np
+
+from biasgan_tpu.data import synthetic  # noqa: F401 (registers 'synthetic')
+from biasgan_tpu.data import aligned  # noqa: F401 (registers 'aligned')
+from biasgan_tpu.data import unaligned  # noqa: F401 (registers 'unaligned')
+from biasgan_tpu.data import single  # noqa: F401 (registers 'single')
+from biasgan_tpu.data import climate  # noqa: F401 (registers 'climate')
+
+
+class DataLoader:
+    """Shuffling, fixed-shape batching loader (reference
+    CustomDatasetDataLoader semantics: shuffle unless --serial_batches,
+    cap at --max_dataset_size)."""
+
+    def __init__(self, dataset, cfg):
+        self.dataset = dataset
+        self.batch_size = cfg.batch_size
+        self.shuffle = not cfg.serial_batches
+        n = len(dataset)
+        if cfg.max_dataset_size and cfg.max_dataset_size > 0:
+            n = min(n, cfg.max_dataset_size)
+        self.num_samples = n
+        self.seed = cfg.seed
+        self.epoch = 0
+        # static shapes: drop ragged tail when batching for training
+        self.drop_last = cfg.batch_size > 1
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.num_samples // self.batch_size
+        return -(-self.num_samples // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            samples = [self.dataset[int(i)] for i in idx]
+            yield _collate(samples)
+        self.epoch += 1
+
+
+def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key.endswith("_paths"):
+            out[key] = [v for s in vals for v in (s if isinstance(s, list) else [s])]
+        else:
+            out[key] = np.stack(vals).astype(np.float32)
+    return out
+
+
+def create_dataset(cfg) -> DataLoader:
+    from biasgan_tpu.registry import get_dataset
+
+    dataset = get_dataset(cfg.dataset_mode)(cfg)
+    if cfg.verbose:
+        print(f"dataset [{type(dataset).__name__}] was created ({len(dataset)} samples)")
+    return DataLoader(dataset, cfg)

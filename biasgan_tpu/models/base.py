@@ -1,0 +1,186 @@
+"""BaseModel: the reference-compatible OO wrapper over the functional cores.
+
+Preserves the reference ``BaseModel`` public API (models/base_model.py,
+SURVEY.md section 2.2 [K]) — ``setup`` / ``set_input`` / ``optimize_parameters`` /
+``test`` / ``eval`` / ``get_current_losses`` / ``get_current_visuals`` /
+``get_image_paths`` / ``save_networks`` / ``load_networks`` /
+``update_learning_rate`` — while the actual compute is a single jitted (and
+optionally shard_mapped) train step over a GANTrainState pytree.
+
+Asynchronous by construction: optimize_parameters only enqueues the step;
+losses are fetched (device sync) when get_current_losses is called, exactly
+like the reference's print_freq cadence — so the TPU never waits on the host
+between logging points.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biasgan_tpu.models.common import GANTrainState, make_lr_schedule
+from biasgan_tpu.utils import checkpoint as ckpt
+
+
+class BaseModel:
+    """Subclasses define: loss_names, visual_names, net_names, and the three
+    factory hooks _create_state / _make_train_step / _make_eval_fn."""
+
+    loss_names: List[str] = []
+    visual_names: List[str] = []
+    net_names: List[str] = []
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.is_train = cfg.phase == "train"
+        self.run_dir = cfg.run_dir()
+        os.makedirs(self.run_dir, exist_ok=True)
+        self._rng = jax.random.PRNGKey(cfg.seed)
+        self._host_step = 0
+        self._epoch = getattr(cfg, "epoch_count", 1)
+        self._is_eval = False
+        self._batch: Optional[Dict[str, Any]] = None
+        self._paths: List[str] = []
+        self._losses: Dict[str, jax.Array] = {}
+        self._visuals: Dict[str, jax.Array] = {}
+        self._plateau_best = float("inf")
+        self._plateau_bad = 0
+
+        self.state: GANTrainState = self._create_state(jax.random.PRNGKey(cfg.seed))
+
+        self.mesh = None
+        axis_name = None
+        if getattr(cfg, "data_mesh", 1) > 1:
+            from biasgan_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(data=cfg.data_mesh)
+            axis_name = "data"
+
+        if self.is_train:
+            step = self._make_train_step(axis_name)
+            if self.mesh is not None:
+                from biasgan_tpu.parallel import data_parallel_step
+
+                step = data_parallel_step(step, self.mesh)
+                self._train_step = jax.jit(step)
+            else:
+                self._train_step = jax.jit(step, donate_argnums=0)
+        self._eval_fn = jax.jit(self._make_eval_fn(), static_argnames=("train",))
+        self._lr_fn = make_lr_schedule(cfg) if self.is_train else None
+
+    # --- factory hooks -----------------------------------------------------
+    def _create_state(self, rng) -> GANTrainState:
+        raise NotImplementedError
+
+    def _make_train_step(self, axis_name):
+        raise NotImplementedError
+
+    def _make_eval_fn(self):
+        raise NotImplementedError
+
+    # --- reference API -----------------------------------------------------
+    def setup(self):
+        """Load checkpoint if continuing/testing; print param counts
+        (reference BaseModel.setup)."""
+        cfg = self.cfg
+        load = (not self.is_train) or getattr(cfg, "continue_train", False)
+        if load:
+            tag = f"iter_{cfg.load_iter}" if cfg.load_iter > 0 else cfg.epoch
+            self.load_networks(tag)
+        if cfg.verbose:
+            self.print_networks()
+
+    def set_input(self, data: Dict[str, Any]):
+        """Store the batch (host numpy or device arrays); path metadata is
+        carried on the host like the reference's A_paths/B_paths."""
+        self._batch = {
+            k: v for k, v in data.items() if not k.endswith("_paths")
+        }
+        self._paths = data.get("A_paths", data.get("B_paths", []))
+        if self.mesh is not None:
+            from biasgan_tpu.parallel import shard_batch
+
+            self._batch = shard_batch(self._batch, self.mesh)
+
+    def optimize_parameters(self):
+        rng = jax.random.fold_in(self._rng, self._host_step)
+        self.state, self._losses, self._visuals = self._train_step(
+            self.state, self._batch, rng
+        )
+        self._host_step += 1
+
+    def test(self):
+        """No-grad forward (reference model.test()); respects eval()."""
+        rng = jax.random.fold_in(self._rng, self._host_step)
+        self._visuals = self._eval_fn(
+            self.state, self._batch, rng, train=not self._is_eval
+        )
+
+    def eval(self):
+        self._is_eval = True
+
+    def get_current_losses(self) -> Dict[str, float]:
+        return {k: float(v) for k, v in self._losses.items()}
+
+    def get_current_visuals(self) -> Dict[str, np.ndarray]:
+        return {
+            k: np.asarray(v)
+            for k, v in self._visuals.items()
+            if k in self.visual_names or not self.visual_names
+        }
+
+    def get_image_paths(self) -> List[str]:
+        return self._paths
+
+    def compute_visuals(self):  # reference hook (no-op for these models)
+        pass
+
+    def current_lr(self) -> float:
+        if self._lr_fn is None:
+            return 0.0
+        return float(self._lr_fn(self.state.step, self.state.lr_scale))
+
+    def update_learning_rate(self, metric: Optional[float] = None):
+        """Epoch-end hook. linear/step/cosine run in-graph from the step
+        counter; 'plateau' mirrors torch ReduceLROnPlateau(factor=0.2,
+        threshold=0.01, patience=5) on the host via state.lr_scale."""
+        self._epoch += 1
+        if self.cfg.lr_policy == "plateau" and metric is not None:
+            if metric < self._plateau_best * (1 - 0.01):
+                self._plateau_best = metric
+                self._plateau_bad = 0
+            else:
+                self._plateau_bad += 1
+                if self._plateau_bad > 5:
+                    self.state = self.state.replace(
+                        lr_scale=self.state.lr_scale * 0.2
+                    )
+                    self._plateau_bad = 0
+        return self.current_lr()
+
+    # --- checkpointing ------------------------------------------------------
+    def save_networks(self, tag):
+        meta = {"host_step": self._host_step, "epoch": self._epoch}
+        return ckpt.save_state(self.run_dir, str(tag), self.state, meta)
+
+    def load_networks(self, tag):
+        self.state = ckpt.restore_state(
+            self.run_dir, str(tag), ckpt.abstract_like(self.state)
+        )
+        meta = ckpt.load_meta(self.run_dir, str(tag))
+        self._host_step = meta.get("host_step", int(self.state.step))
+        self._epoch = meta.get("epoch", self._epoch)
+
+    def print_networks(self):
+        from biasgan_tpu.nn import count_params
+
+        print("---------- Networks initialized -------------")
+        for name in self.net_names:
+            n = count_params(self.state.nets[name])
+            print(f"[Network {name}] Total number of parameters : {n/1e6:.3f} M")
+        print("-----------------------------------------------")

@@ -1,0 +1,178 @@
+"""Shared machinery for the per-GAN-variant jitted train steps.
+
+This is the TPU-native replacement for the reference's ``BaseModel`` plumbing
+(models/base_model.py, SURVEY.md section 2.2 [K]): instead of stateful nets +
+``set_requires_grad`` toggling + two torch optimizers, each model is a pure
+``train_step(state, batch, rng) -> (state, losses)`` over an explicit
+``GANTrainState`` pytree. Parameter freezing falls out of functional purity:
+you differentiate w.r.t. exactly the parameter subtree you want to update.
+
+The optimizer is optax ``scale_by_adam`` (same math as torch Adam with
+betas=(beta1, 0.999), eps=1e-8) with the learning rate applied manually in
+the step, so the reference's epoch-wise LR policies (linear/step/cosine) run
+*in-graph* from the step counter, and 'plateau' rides a host-updated
+``lr_scale`` field — no retracing, no host round-trips in the hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class GANTrainState:
+    """Complete training state for any GAN variant — a single pytree.
+
+    nets:  name -> flax variables dict ({'params', optionally 'batch_stats'})
+    opts:  name -> optax optimizer state (one per optimizer, e.g. 'G', 'D')
+    pools: name -> in-graph ImagePool state (CycleGAN replay buffers)
+
+    Strictly more complete than the reference's checkpoints, which persist
+    only net state_dicts (SURVEY.md section 5, checkpoint row): optimizer state,
+    step, LR scale and pool state all live here and are all checkpointed.
+    """
+
+    step: Array
+    lr_scale: Array
+    nets: Dict[str, Any]
+    opts: Dict[str, Any]
+    pools: Dict[str, Any]
+
+
+def adam_transform(beta1: float = 0.5, beta2: float = 0.999, eps: float = 1e-8):
+    return optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps)
+
+
+def make_lr_schedule(cfg):
+    """Reference ``get_scheduler`` policies, evaluated in-graph from the step
+    counter. Epoch index = step // steps_per_epoch (scheduler.step() per epoch
+    in the reference). Returns lr(step, lr_scale)."""
+    policy = cfg.lr_policy
+    base_lr = cfg.lr
+    spe = max(int(getattr(cfg, "steps_per_epoch", 0)), 1)
+    n_epochs = cfg.n_epochs
+    n_decay = cfg.n_epochs_decay
+    epoch_count = cfg.epoch_count
+    decay_iters = max(cfg.lr_decay_iters, 1)
+
+    def lr_fn(step: Array, lr_scale: Array) -> Array:
+        e = (step // spe).astype(jnp.float32)
+        if policy == "linear":
+            over = jnp.maximum(0.0, e + epoch_count - n_epochs)
+            factor = 1.0 - over / float(n_decay + 1)
+        elif policy == "step":
+            factor = 0.1 ** jnp.floor(e / decay_iters)
+        elif policy == "cosine":
+            factor = 0.5 * (1.0 + jnp.cos(jnp.pi * e / float(n_epochs)))
+        elif policy == "plateau":
+            factor = 1.0  # host updates lr_scale from the tracked metric
+        else:
+            raise ValueError(f"unknown lr_policy {policy!r}")
+        return base_lr * factor * lr_scale
+
+    return lr_fn
+
+
+def apply_adam_update(params, grads, opt_state, tx, lr: Array):
+    """direction = scale_by_adam(grads); params -= lr * direction."""
+    direction, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, d: (p - lr * d.astype(p.dtype)), params, direction
+    )
+    return new_params, new_opt_state
+
+
+def apply_net(
+    module,
+    variables: Dict[str, Any],
+    x: Array,
+    train: bool,
+    rngs: Optional[Dict[str, Array]] = None,
+    ctx=None,
+) -> Tuple[Array, Dict[str, Any]]:
+    """Apply a flax module, threading batch-norm running stats through the
+    variables dict when present (instance-norm nets have no 'batch_stats')."""
+    if train and "batch_stats" in variables:
+        y, mutated = module.apply(
+            variables, x, train, ctx, rngs=rngs, mutable=["batch_stats"]
+        )
+        return y, {**variables, **mutated}
+    return module.apply(variables, x, train, ctx, rngs=rngs), variables
+
+
+def pmean_if(tree, axis_name: Optional[str]):
+    """pmean a pytree across the data-parallel axis when running under
+    shard_map (grads / batch_stats / losses stay replicated)."""
+    if axis_name is None:
+        return tree
+    return jax.lax.pmean(tree, axis_name)
+
+
+def init_state(nets: Dict[str, Any], opt_map: Dict[str, Tuple], pools=None):
+    """Build the initial GANTrainState.
+
+    opt_map: optimizer name -> (tx, params_pytree) — params of every net that
+    optimizer updates (CycleGAN shares one optimizer across G_A+G_B).
+    """
+    opts = {name: tx.init(params) for name, (tx, params) in opt_map.items()}
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        lr_scale=jnp.ones((), jnp.float32),
+        nets=nets,
+        opts=opts,
+        pools=pools or {},
+    )
+
+
+def tree_l2(tree) -> jax.Array:
+    """Global l2 norm of a pytree (f32) — DP-equivalence diagnostics."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves)
+    )
+
+
+def prepare_batch(batch, rng, cfg, train: bool = True):
+    """In-graph standardization + augmentation (north star BASELINE.json:5).
+
+    Standardizes A/B with the per-variable stats the dataset rode along in
+    the batch (climate data), then applies flip / periodic-lon-roll
+    augmentation with shared params across the pair. Pure, fuses into the
+    jitted step."""
+    from biasgan_tpu.data.transforms import in_graph_augment, standardize
+
+    out = {k: v for k, v in batch.items()}
+    for k in ("A", "B"):
+        mk, sk = f"{k}_mean", f"{k}_std"
+        if k in out and mk in out:
+            out[k] = standardize(out[k], out[mk][0], out[sk][0])
+            del out[mk], out[sk]
+    if train and getattr(cfg, "in_graph_aug", False):
+        out = in_graph_augment(
+            out,
+            rng,
+            flip=not cfg.no_flip,
+            lon_roll=getattr(cfg, "aug_lon_roll", False),
+        )
+    return out
+
+
+def resolve_direction(batch: Dict[str, Any], direction: str) -> Tuple[Array, Array]:
+    """Reference set_input: --direction AtoB|BtoA picks source/target."""
+    if direction == "AtoB":
+        return batch["A"], batch["B"]
+    if direction == "BtoA":
+        return batch["B"], batch["A"]
+    raise ValueError(f"unknown direction {direction!r}")
+
+
+def compute_dtype_of(cfg):
+    return {"float32": None, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]

@@ -1,0 +1,313 @@
+"""CycleGAN: unpaired sim<->obs bias correction.
+
+Capability parity with the reference's ``CycleGANModel``
+(models/cycle_gan_model.py, SURVEY.md sections 2.2 and 3.2 [K]):
+
+  forward: fake_B = G_A(A); rec_A = G_B(fake_B); fake_A = G_B(B); rec_B = G_A(fake_A)
+  G step (Ds held constant — reference freezes them):
+      GAN(D_A(fake_B)) + GAN(D_B(fake_A))
+    + lambda_A * L1(rec_A, A) + lambda_B * L1(rec_B, B)
+    + lambda_idt * (lambda_B * L1(G_A(B), B) + lambda_A * L1(G_B(A), A))
+    one shared Adam over G_A + G_B params
+  D step (after G, reference order): each D sees real vs. a POOL-replayed
+    fake (ImagePool(50) decorrelation), 0.5-weighted; one shared Adam over
+    D_A + D_B.
+  defaults (modify_commandline_options): resnet_9blocks G, instance norm,
+  no dropout, unaligned dataset, lsgan.
+
+TPU-native: one jitted step; the replay pools are in-graph pytree state
+(utils/image_pool.py); "set_requires_grad(D, False)" is simply
+differentiating the G loss w.r.t. G params only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from biasgan_tpu import losses
+from biasgan_tpu.models import base
+from biasgan_tpu.models.common import (
+    GANTrainState,
+    adam_transform,
+    apply_adam_update,
+    apply_net,
+    compute_dtype_of,
+    init_state,
+    make_lr_schedule,
+    pmean_if,
+    prepare_batch,
+)
+from biasgan_tpu.nn import define_D, define_G, init_params
+from biasgan_tpu.registry import register_model
+from biasgan_tpu.utils.image_pool import create_pool, pool_query
+
+Array = jax.Array
+
+
+@dataclass
+class CycleGANConfig:
+    lambda_A: float = 10.0
+    lambda_B: float = 10.0
+    lambda_identity: float = 0.5
+
+
+def build_nets(cfg):
+    dtype = compute_dtype_of(cfg)
+
+    def g(out_nc):
+        return define_G(
+            cfg.netG,
+            output_nc=out_nc,
+            ngf=cfg.ngf,
+            norm=cfg.norm,
+            use_dropout=cfg.dropout(),
+            init_type=cfg.init_type,
+            init_gain=cfg.init_gain,
+            w_mode=cfg.w_pad_mode or None,
+            compute_dtype=dtype,
+            out_activation=getattr(cfg, "netG_activation", "tanh"),
+        )
+
+    def d():
+        return define_D(
+            cfg.netD,
+            ndf=cfg.ndf,
+            n_layers_D=cfg.n_layers_D,
+            norm=cfg.norm,
+            init_type=cfg.init_type,
+            init_gain=cfg.init_gain,
+            w_mode=cfg.w_pad_mode or "zero",
+            compute_dtype=dtype,
+        )
+
+    # G_A: A->B, G_B: B->A; D_A judges B-domain, D_B judges A-domain
+    return {"G_A": g(cfg.output_nc), "G_B": g(cfg.input_nc)}, {"D_A": d(), "D_B": d()}
+
+
+def create_state(cfg, rng: Array) -> GANTrainState:
+    gs, ds = build_nets(cfg)
+    h = w = cfg.crop_size
+    keys = jax.random.split(rng, 4)
+    xa = jnp.zeros((1, h, w, cfg.input_nc))
+    xb = jnp.zeros((1, h, w, cfg.output_nc))
+    nets = {
+        "G_A": dict(init_params(gs["G_A"], keys[0], xa, train=True)),
+        "G_B": dict(init_params(gs["G_B"], keys[1], xb, train=True)),
+        "D_A": dict(init_params(ds["D_A"], keys[2], xb, train=True)),
+        "D_B": dict(init_params(ds["D_B"], keys[3], xa, train=True)),
+    }
+    tx = adam_transform(getattr(cfg, 'beta1', 0.5))  # test cfg has no train fields
+    pools = {}
+    if getattr(cfg, "pool_size", 0) > 0 and cfg.phase == "train":
+        pools = {
+            "fake_B": create_pool(cfg.pool_size, (h, w, cfg.output_nc)),
+            "fake_A": create_pool(cfg.pool_size, (h, w, cfg.input_nc)),
+        }
+    return init_state(
+        nets=nets,
+        opt_map={
+            "G": (tx, {"G_A": nets["G_A"]["params"], "G_B": nets["G_B"]["params"]}),
+            "D": (tx, {"D_A": nets["D_A"]["params"], "D_B": nets["D_B"]["params"]}),
+        },
+        pools=pools,
+    )
+
+
+def make_train_step(cfg, axis_name: Optional[str] = None):
+    gs, ds = build_nets(cfg)
+    G_A, G_B, D_A, D_B = gs["G_A"], gs["G_B"], ds["D_A"], ds["D_B"]
+    tx_g = adam_transform(cfg.beta1)
+    tx_d = adam_transform(cfg.beta1)
+    lr_fn = make_lr_schedule(cfg)
+    gan_mode = cfg.gan_mode
+    lam_A, lam_B, lam_idt = cfg.lambda_A, cfg.lambda_B, cfg.lambda_identity
+    use_pool = getattr(cfg, "pool_size", 0) > 0
+
+    def train_step(
+        state: GANTrainState, batch: Dict[str, Array], rng: Array
+    ) -> Tuple[GANTrainState, Dict[str, Array], Dict[str, Array]]:
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_drop, rng_pool_a, rng_pool_b, rng_aug = jax.random.split(rng, 4)
+        batch = prepare_batch(batch, rng_aug, cfg, train=True)
+        real_A, real_B = batch["A"], batch["B"]
+        nets = state.nets
+        drop = {"dropout": rng_drop}
+        lr = lr_fn(state.step, state.lr_scale)
+
+        # ---- G update (first, reference order; Ds constant) ----
+        def g_loss_fn(g_params):
+            gva = {**nets["G_A"], "params": g_params["G_A"]}
+            gvb = {**nets["G_B"], "params": g_params["G_B"]}
+            fake_B, gva = apply_net(G_A, gva, real_A, True, drop)
+            rec_A, gvb = apply_net(G_B, gvb, fake_B, True, drop)
+            fake_A, gvb = apply_net(G_B, gvb, real_B, True, drop)
+            rec_B, gva = apply_net(G_A, gva, fake_A, True, drop)
+            if lam_idt > 0:
+                idt_A, gva = apply_net(G_A, gva, real_B, True, drop)
+                idt_B, gvb = apply_net(G_B, gvb, real_A, True, drop)
+                loss_idt_A = losses.l1_loss(idt_A, real_B) * lam_B * lam_idt
+                loss_idt_B = losses.l1_loss(idt_B, real_A) * lam_A * lam_idt
+            else:
+                idt_A = idt_B = None
+                loss_idt_A = loss_idt_B = jnp.zeros(())
+            pred_a, _ = apply_net(D_A, nets["D_A"], fake_B, True)
+            pred_b, _ = apply_net(D_B, nets["D_B"], fake_A, True)
+            loss_G_A = losses.gan_loss(pred_a, True, gan_mode)
+            loss_G_B = losses.gan_loss(pred_b, True, gan_mode)
+            loss_cycle_A = losses.l1_loss(rec_A, real_A) * lam_A
+            loss_cycle_B = losses.l1_loss(rec_B, real_B) * lam_B
+            loss = (
+                loss_G_A + loss_G_B + loss_cycle_A + loss_cycle_B
+                + loss_idt_A + loss_idt_B
+            )
+            aux = dict(
+                G_A=loss_G_A, G_B=loss_G_B,
+                cycle_A=loss_cycle_A, cycle_B=loss_cycle_B,
+                idt_A=loss_idt_A, idt_B=loss_idt_B,
+                fake_B=fake_B, fake_A=fake_A, rec_A=rec_A, rec_B=rec_B,
+                gva=gva, gvb=gvb,
+            )
+            return loss, aux
+
+        g_params = {"G_A": nets["G_A"]["params"], "G_B": nets["G_B"]["params"]}
+        (_, gaux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
+        g_grads = pmean_if(g_grads, axis_name)
+        g_params_new, g_opt_new = apply_adam_update(
+            g_params, g_grads, state.opts["G"], tx_g, lr
+        )
+
+        fake_B = jax.lax.stop_gradient(gaux["fake_B"])
+        fake_A = jax.lax.stop_gradient(gaux["fake_A"])
+
+        # ---- replay pools (in-graph; reference ImagePool.query) ----
+        pools = dict(state.pools)
+        if use_pool:
+            pools["fake_B"], fake_B_q = pool_query(
+                pools["fake_B"], fake_B, rng_pool_b
+            )
+            pools["fake_A"], fake_A_q = pool_query(
+                pools["fake_A"], fake_A, rng_pool_a
+            )
+        else:
+            fake_B_q, fake_A_q = fake_B, fake_A
+
+        # ---- D update (reference backward_D_basic, 0.5 weighting) ----
+        def d_loss_fn(d_params):
+            dva = {**nets["D_A"], "params": d_params["D_A"]}
+            dvb = {**nets["D_B"], "params": d_params["D_B"]}
+            pr_a, dva = apply_net(D_A, dva, real_B, True)
+            pf_a, dva = apply_net(D_A, dva, fake_B_q, True)
+            loss_D_A = 0.5 * (
+                losses.gan_loss(pr_a, True, gan_mode)
+                + losses.gan_loss(pf_a, False, gan_mode)
+            )
+            pr_b, dvb = apply_net(D_B, dvb, real_A, True)
+            pf_b, dvb = apply_net(D_B, dvb, fake_A_q, True)
+            loss_D_B = 0.5 * (
+                losses.gan_loss(pr_b, True, gan_mode)
+                + losses.gan_loss(pf_b, False, gan_mode)
+            )
+            return loss_D_A + loss_D_B, dict(
+                D_A=loss_D_A, D_B=loss_D_B, dva=dva, dvb=dvb
+            )
+
+        d_params = {"D_A": nets["D_A"]["params"], "D_B": nets["D_B"]["params"]}
+        (_, daux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+        d_grads = pmean_if(d_grads, axis_name)
+        d_params_new, d_opt_new = apply_adam_update(
+            d_params, d_grads, state.opts["D"], tx_d, lr
+        )
+
+        new_nets = {
+            "G_A": {**gaux["gva"], "params": g_params_new["G_A"]},
+            "G_B": {**gaux["gvb"], "params": g_params_new["G_B"]},
+            "D_A": {**daux["dva"], "params": d_params_new["D_A"]},
+            "D_B": {**daux["dvb"], "params": d_params_new["D_B"]},
+        }
+        for v in new_nets.values():
+            if "batch_stats" in v:
+                v["batch_stats"] = pmean_if(v["batch_stats"], axis_name)
+
+        loss_dict = pmean_if(
+            {
+                "D_A": daux["D_A"], "G_A": gaux["G_A"], "cycle_A": gaux["cycle_A"],
+                "idt_A": gaux["idt_A"], "D_B": daux["D_B"], "G_B": gaux["G_B"],
+                "cycle_B": gaux["cycle_B"], "idt_B": gaux["idt_B"],
+            },
+            axis_name,
+        )
+        visuals = {
+            "real_A": real_A, "fake_B": gaux["fake_B"], "rec_A": gaux["rec_A"],
+            "real_B": real_B, "fake_A": gaux["fake_A"], "rec_B": gaux["rec_B"],
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            nets=new_nets,
+            opts={"G": g_opt_new, "D": d_opt_new},
+            pools=pools,
+        )
+        return new_state, loss_dict, visuals
+
+    return train_step
+
+
+def make_eval_fn(cfg):
+    gs, _ = build_nets(cfg)
+    G_A, G_B = gs["G_A"], gs["G_B"]
+
+    def eval_fn(state, batch, rng, train: bool = False, ctx=None):
+        batch = prepare_batch(batch, rng, cfg, train=False)
+
+        def fwd(G, v, x):
+            y = G.apply(
+                v, x, train, ctx,
+                rngs={"dropout": rng} if train else None,
+                mutable=["batch_stats"] if train and "batch_stats" in v else False,
+            )
+            return y[0] if isinstance(y, tuple) else y
+
+        real_A, real_B = batch["A"], batch["B"]
+        fake_B = fwd(G_A, state.nets["G_A"], real_A)
+        rec_A = fwd(G_B, state.nets["G_B"], fake_B)
+        fake_A = fwd(G_B, state.nets["G_B"], real_B)
+        rec_B = fwd(G_A, state.nets["G_A"], fake_A)
+        return {
+            "real_A": real_A, "fake_B": fake_B, "rec_A": rec_A,
+            "real_B": real_B, "fake_A": fake_A, "rec_B": rec_B,
+        }
+
+    return eval_fn
+
+
+@register_model("cycle_gan", CycleGANConfig)
+class CycleGANModel(base.BaseModel):
+    loss_names = ["D_A", "G_A", "cycle_A", "idt_A", "D_B", "G_B", "cycle_B", "idt_B"]
+    visual_names = ["real_A", "fake_B", "rec_A", "real_B", "fake_A", "rec_B"]
+    net_names = ["G_A", "G_B", "D_A", "D_B"]
+
+    @staticmethod
+    def config_defaults(train: bool) -> Dict[str, Any]:
+        # reference CycleGANModel.modify_commandline_options
+        d = {
+            "norm": "instance",
+            "netG": "resnet_9blocks",
+            "no_dropout": True,
+            "dataset_mode": "unaligned",
+        }
+        if train:
+            d.update({"gan_mode": "lsgan", "pool_size": 50})
+        return d
+
+    def _create_state(self, rng):
+        return create_state(self.cfg, rng)
+
+    def _make_train_step(self, axis_name):
+        return make_train_step(self.cfg, axis_name)
+
+    def _make_eval_fn(self):
+        return make_eval_fn(self.cfg)

@@ -1,0 +1,257 @@
+"""pix2pix: paired image-to-image / bias-correction GAN.
+
+Capability parity with the reference's ``Pix2PixModel``
+(models/pix2pix_model.py, SURVEY.md sections 2.2 and 3.1 [K]):
+
+  forward: fake_B = G(real_A)
+  D step : 0.5 * (GAN(D(cat(A, sg(fake_B))), fake) + GAN(D(cat(A, B)), real))
+  G step : GAN(D_updated(cat(A, fake_B)), real) + lambda_L1 * L1(fake_B, B)
+  two Adam(beta1=0.5) optimizers, D updated before G (reference order);
+  defaults --netG unet_256 --netD basic --norm batch --pool_size 0
+  --gan_mode vanilla (modify_commandline_options).
+
+TPU-native: the whole alternating update is ONE jitted function of a
+``GANTrainState`` pytree. ``set_requires_grad`` is replaced by
+differentiating w.r.t. exactly the right parameter subtree; the detached fake
+is simply a concrete (non-traced) value in the D loss. When ``axis_name`` is
+set the step runs under shard_map and pmeans grads/stats/losses across the
+data-parallel mesh axis (SURVEY.md section 2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from biasgan_tpu import losses
+from biasgan_tpu.models import base
+from biasgan_tpu.models.common import (
+    GANTrainState,
+    adam_transform,
+    apply_adam_update,
+    apply_net,
+    compute_dtype_of,
+    init_state,
+    make_lr_schedule,
+    pmean_if,
+    prepare_batch,
+    resolve_direction,
+)
+from biasgan_tpu.nn import define_D, define_G, init_params
+from biasgan_tpu.registry import register_model
+
+Array = jax.Array
+
+
+@dataclass
+class Pix2PixConfig:
+    lambda_L1: float = 100.0
+    lambda_gp: float = 10.0  # only used when gan_mode == 'wgangp'
+
+
+def build_nets(cfg):
+    dtype = compute_dtype_of(cfg)
+    G = define_G(
+        cfg.netG,
+        output_nc=cfg.output_nc,
+        ngf=cfg.ngf,
+        norm=cfg.norm,
+        use_dropout=cfg.dropout(),
+        init_type=cfg.init_type,
+        init_gain=cfg.init_gain,
+        w_mode=cfg.w_pad_mode or None,
+        compute_dtype=dtype,
+        out_activation=getattr(cfg, "netG_activation", "tanh"),
+    )
+    D = define_D(
+        cfg.netD,
+        ndf=cfg.ndf,
+        n_layers_D=cfg.n_layers_D,
+        norm=cfg.norm,
+        init_type=cfg.init_type,
+        init_gain=cfg.init_gain,
+        w_mode=cfg.w_pad_mode or "zero",
+        compute_dtype=dtype,
+    )
+    return G, D
+
+
+def create_state(cfg, rng: Array) -> GANTrainState:
+    G, D = build_nets(cfg)
+    rng_g, rng_d = jax.random.split(rng)
+    h = w = cfg.crop_size
+    g_vars = init_params(G, rng_g, jnp.zeros((1, h, w, cfg.input_nc)), train=True)
+    # conditional D sees cat(A, B) on the channel axis
+    d_vars = init_params(
+        D, rng_d, jnp.zeros((1, h, w, cfg.input_nc + cfg.output_nc)), train=True
+    )
+    tx = adam_transform(getattr(cfg, 'beta1', 0.5))  # test cfg has no train fields
+    return init_state(
+        nets={"G": dict(g_vars), "D": dict(d_vars)},
+        opt_map={"G": (tx, g_vars["params"]), "D": (tx, d_vars["params"])},
+    )
+
+
+def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool = False):
+    """Build the pure jitted train step. See module docstring for semantics."""
+    G, D = build_nets(cfg)
+    tx_g = adam_transform(cfg.beta1)
+    tx_d = adam_transform(cfg.beta1)
+    lr_fn = make_lr_schedule(cfg)
+    gan_mode = cfg.gan_mode
+    lambda_l1 = cfg.lambda_L1
+    lambda_gp = cfg.lambda_gp
+
+    def train_step(
+        state: GANTrainState, batch: Dict[str, Array], rng: Array
+    ) -> Tuple[GANTrainState, Dict[str, Array], Dict[str, Array]]:
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_drop, rng_gp, rng_aug = jax.random.split(rng, 3)
+        batch = prepare_batch(batch, rng_aug, cfg, train=True)
+        real_A, real_B = resolve_direction(batch, cfg.direction)
+        g_vars, d_vars = state.nets["G"], state.nets["D"]
+        drop_rngs = {"dropout": rng_drop}
+
+        # ONE G forward per iteration (reference forward()), captured with
+        # jax.vjp so the same linearization serves both the D step (which
+        # sees fake_B as a constant — the reference's detach) and the G step
+        # (pullback of dLoss/dfake_B through G). Saves a full G recompute.
+        def g_forward(g_params):
+            gv = {**g_vars, "params": g_params}
+            fake, gv = apply_net(G, gv, real_A, True, drop_rngs)
+            return fake, gv
+
+        fake_B, g_vjp, gv_after = jax.vjp(g_forward, g_vars["params"], has_aux=True)
+        real_AB = jnp.concatenate([real_A, real_B], axis=-1)
+        fake_AB = jnp.concatenate([real_A, jax.lax.stop_gradient(fake_B)], axis=-1)
+
+        # ---- D update (first, as in the reference) ----
+        def d_loss_fn(d_params):
+            dv = {**d_vars, "params": d_params}
+            pred_fake, dv = apply_net(D, dv, fake_AB, True)
+            loss_fake = losses.gan_loss(pred_fake, False, gan_mode)
+            pred_real, dv = apply_net(D, dv, real_AB, True)
+            loss_real = losses.gan_loss(pred_real, True, gan_mode)
+            loss = 0.5 * (loss_fake + loss_real)
+            if gan_mode == "wgangp":
+                def d_apply(x):
+                    y, _ = apply_net(D, dv, x, True)
+                    return y
+                loss = loss + lambda_gp * losses.gradient_penalty(
+                    d_apply, real_AB, fake_AB, rng_gp
+                )
+            return loss, (dv, loss_fake, loss_real)
+
+        (_, (dv_after, loss_d_fake, loss_d_real)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_vars["params"])
+        d_grads = pmean_if(d_grads, axis_name)
+        lr = lr_fn(state.step, state.lr_scale)
+        d_params_new, d_opt_new = apply_adam_update(
+            d_vars["params"], d_grads, state.opts["D"], tx_d, lr
+        )
+        d_vars_new = {**dv_after, "params": d_params_new}
+
+        # ---- G update (uses the freshly updated D, reference order): head
+        # loss differentiated w.r.t. fake_B, then pulled back through the
+        # saved G linearization ----
+        def g_head_loss(fake):
+            fake_ab = jnp.concatenate([real_A, fake], axis=-1)
+            pred_fake, dv = apply_net(D, d_vars_new, fake_ab, True)
+            loss_gan = losses.gan_loss(pred_fake, True, gan_mode)
+            loss_l1 = losses.l1_loss(fake, real_B) * lambda_l1
+            return loss_gan + loss_l1, (dv, loss_gan, loss_l1)
+
+        (_, (dv_final, loss_g_gan, loss_g_l1)), fake_cot = jax.value_and_grad(
+            g_head_loss, has_aux=True
+        )(fake_B)
+        (g_grads,) = g_vjp(fake_cot)
+        fake_vis = fake_B
+        g_grads = pmean_if(g_grads, axis_name)
+        g_params_new, g_opt_new = apply_adam_update(
+            g_vars["params"], g_grads, state.opts["G"], tx_g, lr
+        )
+        g_vars_final = {**gv_after, "params": g_params_new}
+        d_vars_final = {**dv_final, "params": d_params_new}
+        # keep replicated batch-norm running stats consistent across shards
+        for v in (g_vars_final, d_vars_final):
+            if "batch_stats" in v:
+                v["batch_stats"] = pmean_if(v["batch_stats"], axis_name)
+
+        scalars = {
+            "G_GAN": loss_g_gan,
+            "G_L1": loss_g_l1,
+            "D_real": loss_d_real,
+            "D_fake": loss_d_fake,
+        }
+        if debug_grad_norms:
+            from biasgan_tpu.models.common import tree_l2
+
+            # post-pmean: must be identical across DP configurations
+            scalars["g_grad_norm"] = tree_l2(g_grads)
+            scalars["d_grad_norm"] = tree_l2(d_grads)
+        loss_dict = pmean_if(scalars, axis_name)
+        new_state = state.replace(
+            step=state.step + 1,
+            nets={"G": g_vars_final, "D": d_vars_final},
+            opts={"G": g_opt_new, "D": d_opt_new},
+        )
+        visuals = {"real_A": real_A, "fake_B": fake_vis, "real_B": real_B}
+        return new_state, loss_dict, visuals
+
+    return train_step
+
+
+def make_eval_fn(cfg):
+    """G-only forward (reference model.test()); train flag mirrors the
+    reference's --eval semantics (dropout/BN stay in train mode unless eval)."""
+    G, _ = build_nets(cfg)
+
+    def eval_fn(state: GANTrainState, batch, rng, train: bool = False, ctx=None):
+        batch = prepare_batch(batch, rng, cfg, train=False)
+        real_A, real_B = resolve_direction(batch, cfg.direction)
+        fake_B = G.apply(
+            state.nets["G"],
+            real_A,
+            train,
+            ctx,
+            rngs={"dropout": rng} if train else None,
+            mutable=["batch_stats"] if train and "batch_stats" in state.nets["G"] else False,
+        )
+        if isinstance(fake_B, tuple):
+            fake_B = fake_B[0]
+        return {"real_A": real_A, "fake_B": fake_B, "real_B": real_B}
+
+    return eval_fn
+
+
+@register_model("pix2pix", Pix2PixConfig)
+class Pix2PixModel(base.BaseModel):
+    """Reference-API wrapper (set_input / optimize_parameters / test /
+    get_current_losses / save_networks) over the functional core above."""
+
+    loss_names = ["G_GAN", "G_L1", "D_real", "D_fake"]
+    visual_names = ["real_A", "fake_B", "real_B"]
+    net_names = ["G", "D"]
+
+    @staticmethod
+    def config_defaults(train: bool) -> Dict[str, Any]:
+        # reference Pix2PixModel.modify_commandline_options
+        d = {"norm": "batch", "netG": "unet_256", "dataset_mode": "aligned"}
+        if train:
+            d.update({"pool_size": 0, "gan_mode": "vanilla"})
+        return d
+
+    def _create_state(self, rng):
+        return create_state(self.cfg, rng)
+
+    def _make_train_step(self, axis_name):
+        return make_train_step(self.cfg, axis_name)
+
+    def _make_eval_fn(self):
+        return make_eval_fn(self.cfg)

@@ -1,0 +1,276 @@
+"""Generator zoo: U-Net (paired pix2pix) and ResNet (CycleGAN) generators.
+
+Capability parity: ``UnetGenerator`` / ``ResnetGenerator`` of the reference's
+``models/networks.py`` (SURVEY.md section 2.2 "Network zoo" [K]). Channel
+schedules, norm placement, bias rules and dropout placement follow the
+reference family exactly (validated against a torch oracle in
+tests/unit/test_torch_parity.py), but the implementation is TPU-first:
+
+* NHWC, iterative (non-recursive) U-Net so XLA sees one flat graph;
+* every conv/pad/norm accepts a ``SpatialCtx`` so the whole generator can run
+  with its width (longitude) axis sharded over the device mesh — halo
+  exchange instead of local padding, cross-shard instance-norm stats — giving
+  *exact* full-globe tiled inference (parallel/spatial.py);
+* optional periodic ('wrap') width padding for the longitude axis of global
+  climate fields.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from biasgan_tpu.nn.layers import (
+    Conv2d,
+    ConvTranspose2d,
+    Norm,
+    SpatialCtx,
+    norm_uses_bias,
+)
+
+Array = jax.Array
+
+
+def _lrelu(x: Array) -> Array:
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def _check_spatial(ctx: Optional[SpatialCtx], w: int, stride: int, where: str) -> None:
+    if ctx is not None and w % stride != 0:
+        raise ValueError(
+            f"{where}: sharded local width {w} not divisible by stride {stride}; "
+            "pad the global field to a multiple of n_shards * 2^n_downsamples"
+        )
+
+
+class UNetGenerator(nn.Module):
+    """U-Net generator, reference ``UnetGenerator`` semantics.
+
+    ``num_downs`` stride-2 4x4 convs down to a bottleneck, mirrored by
+    stride-2 4x4 conv-transposes with skip concatenation (input-first order,
+    as the reference's ``cat([x, model(x)], 1)``). unet_256 <=> num_downs=8,
+    unet_128 <=> num_downs=7. Dropout(0.5) on the (num_downs-5) intermediate
+    8*ngf up blocks when ``use_dropout``.
+    """
+
+    output_nc: int
+    ngf: int = 64
+    num_downs: int = 8
+    norm_type: str = "batch"
+    use_dropout: bool = False
+    out_activation: str = "tanh"  # 'none' for unbounded standardized fields
+    w_mode: str = "zero"  # 'wrap' for periodic longitude
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        train: bool = False,
+        ctx: Optional[SpatialCtx] = None,
+    ) -> Array:
+        D = self.num_downs
+        use_bias = norm_uses_bias(self.norm_type)
+        dc = [min(2**i, 8) * self.ngf for i in range(D)]  # down channels
+
+        def conv_down(i: int, h: Array) -> Array:
+            _check_spatial(ctx, h.shape[2], 2, f"unet down{i}")
+            return Conv2d(
+                dc[i],
+                (4, 4),
+                strides=(2, 2),
+                padding=(1, 1),
+                use_bias=use_bias,
+                w_mode=self.w_mode,
+                init_type=self.init_type,
+                init_gain=self.init_gain,
+                compute_dtype=self.compute_dtype,
+                name=f"down{i}",
+            )(h, ctx)
+
+        def conv_up(i: int, h: Array, features: int, bias: bool) -> Array:
+            return ConvTranspose2d(
+                features,
+                (4, 4),
+                strides=(2, 2),
+                padding=(1, 1),
+                use_bias=bias,
+                w_mode="wrap" if self.w_mode == "wrap" else "zero",
+                init_type=self.init_type,
+                init_gain=self.init_gain,
+                compute_dtype=self.compute_dtype,
+                name=f"up{i}",
+            )(h, ctx)
+
+        # --- encoder ---
+        d = []
+        h = conv_down(0, x)  # outermost: no pre-activation, no norm
+        d.append(h)
+        for i in range(1, D):
+            h = conv_down(i, _lrelu(h))
+            if i < D - 1:  # innermost down has no norm
+                h = Norm(self.norm_type, name=f"down_norm{i}")(h, train, ctx)
+            d.append(h)
+
+        # --- decoder ---
+        u = conv_up(D - 1, nn.relu(d[D - 1]), dc[D - 2], use_bias)  # innermost
+        u = Norm(self.norm_type, name=f"up_norm{D-1}")(u, train, ctx)
+        for i in range(D - 2, 0, -1):
+            u = jnp.concatenate([d[i], u], axis=-1)
+            u = conv_up(i, nn.relu(u), dc[i - 1], use_bias)
+            u = Norm(self.norm_type, name=f"up_norm{i}")(u, train, ctx)
+            if self.use_dropout and dc[i] == dc[i - 1] == 8 * self.ngf:
+                u = nn.Dropout(0.5, deterministic=not train, name=f"drop{i}")(u)
+        u = jnp.concatenate([d[0], u], axis=-1)
+        u = conv_up(0, nn.relu(u), self.output_nc, True)  # outermost: bias on
+        u = u.astype(jnp.float32)
+        return jnp.tanh(u) if self.out_activation == "tanh" else u
+
+
+class ResNetBlock(nn.Module):
+    """Reference ``ResnetBlock``: reflect-pad 3x3 conv, norm, relu,
+    [dropout], reflect-pad 3x3 conv, norm, residual add."""
+
+    dim: int
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    w_mode: str = "reflect"
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self, x: Array, train: bool = False, ctx: Optional[SpatialCtx] = None
+    ) -> Array:
+        use_bias = norm_uses_bias(self.norm_type)
+
+        def conv(name: str, h: Array) -> Array:
+            return Conv2d(
+                self.dim,
+                (3, 3),
+                padding=(1, 1),
+                use_bias=use_bias,
+                h_mode="reflect",
+                w_mode=self.w_mode,
+                init_type=self.init_type,
+                init_gain=self.init_gain,
+                compute_dtype=self.compute_dtype,
+                name=name,
+            )(h, ctx)
+
+        h = conv("conv0", x)
+        h = Norm(self.norm_type, name="norm0")(h, train, ctx)
+        h = nn.relu(h)
+        if self.use_dropout:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        h = conv("conv1", h)
+        h = Norm(self.norm_type, name="norm1")(h, train, ctx)
+        return x + h
+
+
+class ResNetGenerator(nn.Module):
+    """Reference ``ResnetGenerator``: 7x7 stem, 2x stride-2 down, ``n_blocks``
+    residual blocks, 2x stride-2 conv-transpose up, 7x7 head + tanh.
+    resnet_9blocks <=> n_blocks=9, resnet_6blocks <=> n_blocks=6.
+
+    Local receptive field (unlike the full-image U-Net bottleneck), which
+    makes it the natural generator for halo-sharded full-globe inference.
+    """
+
+    output_nc: int
+    ngf: int = 64
+    n_blocks: int = 9
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    out_activation: str = "tanh"  # 'none' for unbounded standardized fields
+    w_mode: str = "reflect"  # 'wrap' for periodic longitude
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        train: bool = False,
+        ctx: Optional[SpatialCtx] = None,
+    ) -> Array:
+        use_bias = norm_uses_bias(self.norm_type)
+        common = dict(
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            compute_dtype=self.compute_dtype,
+        )
+        # stem
+        h = Conv2d(
+            self.ngf,
+            (7, 7),
+            padding=(3, 3),
+            use_bias=use_bias,
+            h_mode="reflect",
+            w_mode=self.w_mode,
+            name="stem",
+            **common,
+        )(x, ctx)
+        h = Norm(self.norm_type, name="stem_norm")(h, train, ctx)
+        h = nn.relu(h)
+        # downsample (zero padding, reference semantics)
+        for i in range(2):
+            _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
+            zero_w = "zero" if self.w_mode != "wrap" else "wrap"
+            h = Conv2d(
+                self.ngf * 2 ** (i + 1),
+                (3, 3),
+                strides=(2, 2),
+                padding=(1, 1),
+                use_bias=use_bias,
+                w_mode=zero_w,
+                name=f"down{i}",
+                **common,
+            )(h, ctx)
+            h = Norm(self.norm_type, name=f"down_norm{i}")(h, train, ctx)
+            h = nn.relu(h)
+        # residual blocks
+        for i in range(self.n_blocks):
+            h = ResNetBlock(
+                self.ngf * 4,
+                norm_type=self.norm_type,
+                use_dropout=self.use_dropout,
+                w_mode=self.w_mode,
+                name=f"block{i}",
+                **common,
+            )(h, train, ctx)
+        # upsample
+        for i in range(2):
+            h = ConvTranspose2d(
+                self.ngf * 2 ** (1 - i),
+                (3, 3),
+                strides=(2, 2),
+                padding=(1, 1),
+                output_padding=(1, 1),
+                use_bias=use_bias,
+                w_mode="wrap" if self.w_mode == "wrap" else "zero",
+                name=f"up{i}",
+                **common,
+            )(h, ctx)
+            h = Norm(self.norm_type, name=f"up_norm{i}")(h, train, ctx)
+            h = nn.relu(h)
+        # head
+        h = Conv2d(
+            self.output_nc,
+            (7, 7),
+            padding=(3, 3),
+            use_bias=True,
+            h_mode="reflect",
+            w_mode=self.w_mode,
+            name="head",
+            **common,
+        )(h, ctx)
+        h = h.astype(jnp.float32)
+        return jnp.tanh(h) if self.out_activation == "tanh" else h

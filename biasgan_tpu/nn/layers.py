@@ -1,0 +1,415 @@
+"""Core spatial layers with torch-compatible semantics, NHWC layout.
+
+Capability parity target: the conv / conv-transpose / norm building blocks of
+the reference's ``models/networks.py`` (SURVEY.md section 2.2). Everything here is
+written TPU-first:
+
+* NHWC layout (XLA's native conv layout on TPU; the reference family is NCHW).
+* All padding is explicit, so the width axis can be swapped between local
+  padding (zero / reflect / periodic wrap) and *halo exchange* when a
+  ``SpatialCtx`` is supplied — this is how the generator runs spatially
+  sharded over a device mesh for full-globe inference (SURVEY.md section 5,
+  "Long-context / sequence parallelism" row).
+* ConvTranspose is implemented directly with ``lax.conv_general_dilated``
+  (input dilation + flipped kernel) so its output sizing and weight layout
+  match torch ``ConvTranspose2d(k, s, p, output_padding)`` exactly — that is
+  what the torch-CPU parity oracle in tests/unit/test_torch_parity.py checks.
+* Params are float32; compute dtype is configurable (bfloat16 on TPU). Norm
+  statistics are always accumulated in float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Protocol, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# Spatial-sharding context protocol
+# ---------------------------------------------------------------------------
+
+
+class SpatialCtx(Protocol):
+    """Hooks a layer needs to run with its width (longitude) axis sharded.
+
+    Implemented by ``biasgan_tpu.parallel.spatial.HaloCtx``; ``None`` means
+    "single device / replicated" and all padding happens locally.
+    """
+
+    periodic: bool
+
+    def pad_w(self, x: Array, left: int, right: int) -> Array:
+        """Pad the W axis (axis=2 of NHWC) by exchanging halos with mesh
+        neighbors (wrap-around if periodic, zeros at the global edges if
+        not)."""
+        ...
+
+    def mean_w(self, x: Array, axes: Sequence[int], keepdims: bool = True) -> Array:
+        """Mean over ``axes`` where axis 2 (W) is globally sharded: local mean
+        followed by a cross-shard pmean (shards are equal width)."""
+        ...
+
+
+# ---------------------------------------------------------------------------
+# Explicit padding
+# ---------------------------------------------------------------------------
+
+_PAD_MODES = ("zero", "reflect", "wrap")
+
+
+def _pad_axis(x: Array, axis: int, lo: int, hi: int, mode: str) -> Array:
+    if lo == 0 and hi == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (lo, hi)
+    if mode == "zero":
+        return jnp.pad(x, cfg)
+    if mode == "reflect":
+        return jnp.pad(x, cfg, mode="reflect")
+    if mode == "wrap":
+        return jnp.pad(x, cfg, mode="wrap")
+    raise ValueError(f"unknown pad mode {mode!r}; expected one of {_PAD_MODES}")
+
+
+def pad_hw(
+    x: Array,
+    pad_h: Tuple[int, int],
+    pad_w: Tuple[int, int],
+    h_mode: str = "zero",
+    w_mode: str = "zero",
+    ctx: Optional[SpatialCtx] = None,
+) -> Array:
+    """Pad H (axis 1) locally and W (axis 2) either locally or via halo
+    exchange when a spatial-sharding context is given."""
+    x = _pad_axis(x, 1, pad_h[0], pad_h[1], h_mode)
+    if ctx is None:
+        x = _pad_axis(x, 2, pad_w[0], pad_w[1], w_mode)
+    else:
+        if w_mode == "reflect":
+            raise NotImplementedError(
+                "reflect padding on a sharded width axis is not supported; "
+                "use 'zero' or 'wrap' (periodic longitude)"
+            )
+        x = ctx.pad_w(x, pad_w[0], pad_w[1])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Weight init (reference semantics: init_weights in models/networks.py [K])
+# ---------------------------------------------------------------------------
+
+
+def make_conv_init(init_type: str = "normal", init_gain: float = 0.02):
+    """Conv-kernel initializer matching the reference's ``init_weights``:
+    normal(0, gain) / xavier(gain) / kaiming / orthogonal(gain)."""
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=init_gain)
+    if init_type == "xavier":
+        # torch xavier_normal_(gain=g): std = g * sqrt(2 / (fan_in + fan_out));
+        # variance_scaling(1, fan_avg, normal) has std sqrt(2 / (fi + fo)).
+        def init(key, shape, dtype=jnp.float32):
+            return init_gain * nn.initializers.variance_scaling(
+                1.0, "fan_avg", "normal"
+            )(key, shape, dtype)
+
+        return init
+    if init_type == "kaiming":
+        # kaiming_normal_(a=0, mode='fan_in'): std = sqrt(2 / fan_in)
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=init_gain)
+    raise ValueError(f"unknown init_type {init_type!r}")
+
+
+def batchnorm_scale_init(key, shape, dtype=jnp.float32):
+    """Reference inits BatchNorm weight ~ N(1.0, 0.02), bias = 0."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Functional conv ops (explicit kernels) — shared by modules and tests
+# ---------------------------------------------------------------------------
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array],
+    stride: Tuple[int, int],
+    padding: Tuple[int, int],
+    h_mode: str = "zero",
+    w_mode: str = "zero",
+    ctx: Optional[SpatialCtx] = None,
+    compute_dtype: Any = None,
+) -> Array:
+    """torch ``Conv2d(k, stride, padding)`` semantics (cross-correlation).
+
+    ``kernel`` is HWIO; torch weight (O, I, kh, kw) maps as
+    ``kernel[i, j, ic, oc] == w_torch[oc, ic, i, j]``.
+    """
+    ph, pw = padding
+    kh, kw = kernel.shape[:2]
+    out_h = (x.shape[1] + 2 * ph - kh) // stride[0] + 1
+    out_w_local = (x.shape[2] + 2 * pw - kw) // stride[1] + 1
+    if out_h <= 0 or out_w_local <= 0:
+        raise ValueError(
+            f"conv2d produces empty output {out_h}x{out_w_local} from input "
+            f"{x.shape} with k=({kh},{kw}) s={stride} p={padding} — input too "
+            "small for this network (torch would error here too; an empty "
+            "output would silently turn loss means into NaN)"
+        )
+    x = pad_hw(x, (ph, ph), (pw, pw), h_mode, w_mode, ctx)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=stride, padding="VALID", dimension_numbers=_DIMS
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array],
+    stride: Tuple[int, int],
+    padding: Tuple[int, int],
+    output_padding: Tuple[int, int] = (0, 0),
+    ctx: Optional[SpatialCtx] = None,
+    compute_dtype: Any = None,
+    w_mode: str = "zero",
+) -> Array:
+    """torch ``ConvTranspose2d(k, stride, padding, output_padding)`` semantics.
+
+    out = (in - 1) * s - 2p + k + op  per spatial dim.
+
+    Implemented as correlation of the stride-dilated input with the spatially
+    flipped kernel, padded by (k-1-p, k-1-p+op). ``kernel`` is HWIO with the
+    torch layout mapping ``kernel[i, j, ic, oc] == w_torch[ic, oc, i, j]``
+    (torch convT weight is (I, O, kh, kw)).
+
+    ``w_mode='wrap'`` makes the W axis periodic (longitude): the dilated
+    signal is padded circularly instead of with zeros, so the up-sampled
+    field is seamless across the dateline — and identical to the
+    halo-exchanged sharded path, whose ring ppermute wraps the same way.
+
+    Under a SpatialCtx (or wrap mode) the W axis is dilated manually to
+    ``W * s`` so shard concatenation (resp. circular padding) equals the
+    global dilation; this requires output width == W * s, i.e.
+    2p = k - s + op — true for every conv-transpose in this zoo
+    (k4 s2 p1 op0 and k3 s2 p1 op1).
+    """
+    kh, kw, _, _ = kernel.shape
+    (sh, sw), (ph, pw), (oph, opw) = stride, padding, output_padding
+    kflip = kernel[::-1, ::-1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kflip = kflip.astype(compute_dtype)
+    if ctx is None and w_mode != "wrap":
+        y = jax.lax.conv_general_dilated(
+            x,
+            kflip,
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=_DIMS,
+        )
+    else:
+        if 2 * pw != kw - sw + opw:
+            raise ValueError(
+                "sharded/periodic conv-transpose requires out_width == "
+                f"in_width * stride (2p == k - s + op); got k={kw} s={sw} "
+                f"p={pw} op={opw}"
+            )
+        n, h, w_local, c = x.shape
+        # Dilate W manually to w_local * sw with values at multiples of sw;
+        # shard concatenation (or one period, in the whole-field wrap case)
+        # then equals the global dilation (+ trailing zeros, which land in
+        # positions the zero-pad formula pads anyway and which complete the
+        # period in the periodic case).
+        xd = jnp.zeros((n, h, w_local * sw, c), x.dtype).at[:, :, ::sw, :].set(x)
+        pad_l = kw - 1 - pw  # left margin of the dilated signal
+        pad_r = kw - 1 - pad_l  # == pw
+        if ctx is not None:
+            xd = ctx.pad_w(xd, pad_l, pad_r)
+        else:  # whole-field periodic
+            xd = _pad_axis(xd, 2, pad_l, pad_r, "wrap")
+        y = jax.lax.conv_general_dilated(
+            xd,
+            kflip,
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph), (0, 0)),
+            lhs_dilation=(sh, 1),
+            dimension_numbers=_DIMS,
+        )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+def instance_norm(
+    x: Array, eps: float = 1e-5, ctx: Optional[SpatialCtx] = None
+) -> Array:
+    """torch ``InstanceNorm2d(affine=False, track_running_stats=False)``:
+    normalize each (sample, channel) over its spatial extent. Stats in f32.
+
+    Under a SpatialCtx the spatial mean/var are global across the sharded W
+    axis (local moments + pmean) — this is what makes spatially-tiled
+    inference *exactly* equal to the whole-field forward.
+    """
+    xf = x.astype(jnp.float32)
+    axes = (1, 2)
+    if ctx is None:
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        mean2 = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+    else:
+        mean = ctx.mean_w(xf, axes)
+        mean2 = ctx.mean_w(jnp.square(xf), axes)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """Norm dispatcher: 'batch' | 'instance' | 'none'.
+
+    'batch'   — flax BatchNorm, running stats in the 'batch_stats' collection,
+                torch-compatible (eps 1e-5, momentum 0.1 => flax momentum 0.9),
+                scale ~ N(1, 0.02), bias 0 (reference init_weights semantics).
+    'instance'— affine-free instance norm (reference get_norm_layer semantics).
+    'none'    — identity.
+    """
+
+    norm_type: str = "batch"
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self, x: Array, train: bool = False, ctx: Optional[SpatialCtx] = None
+    ) -> Array:
+        if self.norm_type == "batch":
+            if ctx is not None and train:
+                raise NotImplementedError(
+                    "spatially-sharded training with batch norm is out of scope"
+                )
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=self.eps,
+                dtype=jnp.float32,
+                scale_init=batchnorm_scale_init,
+            )(x)
+        if self.norm_type == "instance":
+            return instance_norm(x, self.eps, ctx)
+        if self.norm_type == "none":
+            return x
+        raise ValueError(f"unknown norm {self.norm_type!r}")
+
+
+def norm_uses_bias(norm_type: str) -> bool:
+    """Reference: conv bias is used iff the following norm is not batch norm
+    (batch norm's own bias makes it redundant)."""
+    return norm_type != "batch"
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+
+class Conv2d(nn.Module):
+    """torch-semantics Conv2d in NHWC. Explicit padding modes so the W axis
+    can ride a halo exchange."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    h_mode: str = "zero"
+    w_mode: str = "zero"
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, ctx: Optional[SpatialCtx] = None) -> Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            make_conv_init(self.init_type, self.init_gain),
+            (kh, kw, cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return conv2d(
+            x,
+            kernel,
+            bias,
+            self.strides,
+            self.padding,
+            self.h_mode,
+            self.w_mode,
+            ctx,
+            self.compute_dtype,
+        )
+
+
+class ConvTranspose2d(nn.Module):
+    """torch-semantics ConvTranspose2d in NHWC (see conv_transpose2d).
+    w_mode='wrap' makes the width axis periodic (longitude)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (2, 2)
+    padding: Tuple[int, int] = (1, 1)
+    output_padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    w_mode: str = "zero"
+    init_type: str = "normal"
+    init_gain: float = 0.02
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, ctx: Optional[SpatialCtx] = None) -> Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            make_conv_init(self.init_type, self.init_gain),
+            (kh, kw, cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return conv_transpose2d(
+            x,
+            kernel,
+            bias,
+            self.strides,
+            self.padding,
+            self.output_padding,
+            ctx,
+            self.compute_dtype,
+            self.w_mode,
+        )

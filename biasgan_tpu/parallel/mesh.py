@@ -1,0 +1,27 @@
+"""Device-mesh construction helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    data: int = 1, spatial: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a (data, spatial) mesh. ``data`` shards the batch axis for
+    training; ``spatial`` shards the width (longitude) axis for halo-exchange
+    inference. Either can be 1."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = data * spatial
+    if n > len(devices):
+        raise ValueError(
+            f"mesh requires {n} devices (data={data} x spatial={spatial}) "
+            f"but only {len(devices)} are visible"
+        )
+    dev = mesh_utils.create_device_mesh((data, spatial), devices=devices[:n])
+    return Mesh(dev, ("data", "spatial"))

@@ -1,0 +1,128 @@
+"""Spatial sharding: halo-exchanged generator inference over the mesh.
+
+This is the build's sequence-parallel analog (SURVEY.md section 5,
+"Long-context / sequence parallelism" row): the reference's "long input"
+problem is spatial — applying G to a full 721x1440 global field — and the
+judged config (BASELINE.json line 10) demands it in ONE jitted call via
+halo-exchanged spatial tiling.
+
+Design (and why it is EXACT, not approximate):
+  * the width (longitude) axis is sharded over the mesh 'spatial' axis;
+  * every conv pads its W axis by exchanging a halo of exactly its kernel
+    margin with ring neighbors (lax.ppermute; wrap-around for the periodic
+    longitude, zero-filled at the global edges otherwise — ppermute's
+    missing-source semantics give zero padding for free);
+  * instance norm computes its spatial statistics *globally* via pmean, so
+    normalization is identical to the whole-field forward;
+  * conv-transposes dilate locally to W_local * stride so the shard
+    concatenation equals the global dilation (nn/layers.py).
+Hence the sharded forward computes literally the same function as the
+whole-field forward — verified to float tolerance by
+tests/distributed/test_spatial.py — instead of the classic overlap-tile
+approximation, which breaks under any norm with global statistics.
+
+Constraints: W_global must be divisible by n_shards * stride_product (use
+pad_to_multiple), and reflect padding on W is unsupported (use 'wrap' —
+physically right for longitude — or 'zero').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloCtx:
+    """SpatialCtx implementation (see nn/layers.py protocol) for a width axis
+    sharded over ``n_shards`` devices along mesh axis ``axis``."""
+
+    axis: str = "spatial"
+    n_shards: int = 1
+    periodic: bool = True
+
+    def _perm(self, towards_right: bool):
+        n = self.n_shards
+        if towards_right:  # data moves r -> r+1 (dest receives its LEFT halo)
+            pairs = [(i, i + 1) for i in range(n - 1)]
+            if self.periodic:
+                pairs.append((n - 1, 0))
+        else:  # data moves r -> r-1 (dest receives its RIGHT halo)
+            pairs = [(i + 1, i) for i in range(n - 1)]
+            if self.periodic:
+                pairs.append((0, n - 1))
+        return pairs
+
+    def pad_w(self, x: Array, left: int, right: int) -> Array:
+        """Exchange halos along W (axis 2 of NHWC). Non-periodic global edges
+        receive zeros (ppermute zero-fills missing sources = zero padding)."""
+        parts = []
+        if left > 0:
+            send = x[:, :, -left:, :]
+            parts.append(jax.lax.ppermute(send, self.axis, self._perm(True)))
+        parts.append(x)
+        if right > 0:
+            send = x[:, :, :right, :]
+            parts.append(jax.lax.ppermute(send, self.axis, self._perm(False)))
+        return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x
+
+    def mean_w(self, x: Array, axes: Sequence[int], keepdims: bool = True) -> Array:
+        """Global mean when axis 2 (W) is in the reduction (equal shard
+        widths make a plain pmean of local means exact)."""
+        m = jnp.mean(x, axis=tuple(axes), keepdims=keepdims)
+        if 2 in axes:
+            m = jax.lax.pmean(m, self.axis)
+        return m
+
+
+def pad_to_multiple(
+    x: Array, multiple: int, axis: int = 2, mode: str = "wrap"
+) -> Tuple[Array, int]:
+    """Pad ``axis`` up to the next multiple (wrap = periodic continuation,
+    natural for longitude). Returns (padded, original_size) for cropping."""
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x, size
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, target - size)
+    if mode == "zero":
+        return jnp.pad(x, cfg), size
+    return jnp.pad(x, cfg, mode=mode), size
+
+
+def spatial_apply(
+    module,
+    mesh: Mesh,
+    train: bool = False,
+    periodic: bool = True,
+    mesh_axis: str = "spatial",
+) -> Callable[[Any, Array], Array]:
+    """Build fn(variables, x_global) running ``module`` with x's W axis
+    sharded over ``mesh_axis``. Jit the result once and reuse — one jitted
+    call end-to-end, collectives ride ICI."""
+    n = mesh.shape[mesh_axis]
+    ctx = HaloCtx(axis=mesh_axis, n_shards=n, periodic=periodic)
+
+    def fwd(variables, x_local):
+        return module.apply(variables, x_local, train, ctx)
+
+    spec = P(None, None, mesh_axis, None)
+    return _shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=spec,
+        check_vma=False,
+    )

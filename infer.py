@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Full-field inference driver: apply a trained generator to whole global
+grids (e.g. 721x1440 multi-channel) in ONE jitted call, spatially sharded
+over the device mesh with halo exchange (BASELINE.json line 10).
+
+  python infer.py --model pix2pix --dataset_mode climate --full_field \
+      --spatial_mesh 4 --w_pad_mode wrap --netG resnet_9blocks ...
+
+How it works (parallel/spatial.py): the longitude axis is sharded over the
+mesh; every conv exchanges exactly its kernel-margin halo with ring neighbors
+over ICI, instance norms pmean their statistics — so the sharded forward is
+numerically the whole-field forward, not a tile approximation. The field is
+padded (periodic wrap) to a multiple of n_shards * 2^n_downs and cropped
+back after.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biasgan_tpu.config import format_config, parse_config, save_config
+from biasgan_tpu.data import create_dataset
+from biasgan_tpu.models import create_model
+from biasgan_tpu.parallel import make_mesh, pad_to_multiple, spatial_apply
+from biasgan_tpu.utils.imaging import save_field
+
+
+def generator_downs(netG: str) -> int:
+    """Stride-product exponent of the generator (for shard divisibility)."""
+    import re
+
+    m = re.fullmatch(r"unet_d(\d+)", netG)
+    if m:
+        return int(m.group(1))
+    downs = {"unet_256": 8, "unet_128": 7, "unet_64": 6, "unet_32": 5}
+    if netG in downs:
+        return downs[netG]
+    if netG.startswith("resnet"):
+        return 2
+    raise ValueError(netG)
+
+
+def main(argv=None):
+    cfg = parse_config(argv, train=False)
+    print(format_config(cfg))
+    save_config(cfg)
+    dataset = create_dataset(cfg)
+    model = create_model(cfg)
+    model.setup()
+
+    n_spatial = max(cfg.spatial_mesh, 1)
+    mesh = make_mesh(data=1, spatial=n_spatial)
+    periodic = (cfg.w_pad_mode or "wrap") == "wrap"
+    multiple = n_spatial * 2 ** generator_downs(cfg.netG)
+
+    # G-only forward, sharded over longitude
+    g_module = model._build_g() if hasattr(model, "_build_g") else None
+    if g_module is None:
+        from biasgan_tpu.models.pix2pix import build_nets
+
+        g_module, _ = build_nets(cfg)
+    g_vars = model.state.nets.get("G", model.state.nets.get("G_A"))
+
+    fwd = spatial_apply(g_module, mesh, train=False, periodic=periodic)
+
+    h_multiple = 2 ** generator_downs(cfg.netG)
+
+    @jax.jit
+    def run(variables, x):
+        # latitude is not periodic: reflect-pad H; longitude wraps
+        xp, h0 = pad_to_multiple(x, h_multiple, axis=1, mode="reflect")
+        xp, w0 = pad_to_multiple(xp, multiple, axis=2, mode="wrap")
+        y = fwd(variables, xp)
+        return y[:, :h0, :w0, :]
+
+    out_dir = os.path.join(cfg.results_dir, cfg.resolved_name(), "fields")
+    os.makedirs(out_dir, exist_ok=True)
+    for i, data in enumerate(dataset):
+        if cfg.num_test and i >= cfg.num_test:
+            break
+        x = jnp.asarray(data["A"])
+        t0 = time.time()
+        y = np.asarray(run(g_vars, x))
+        dt = time.time() - t0
+        px_per_s = (y.shape[1] * y.shape[2] * y.shape[0]) / dt
+        print(
+            f"[{i:04d}] field {x.shape} -> corrected in {dt*1e3:.1f} ms "
+            f"({px_per_s/1e6:.1f} Mpx/s)"
+        )
+        save_field(y, os.path.join(out_dir, f"corrected_{i:05d}.npy"))
+    return out_dir
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

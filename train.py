@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Training driver — reference train.py semantics (SURVEY.md section 3.1 [K]):
+
+  parse config -> create_dataset -> create_model -> setup
+  -> epoch loop { fetch batch -> set_input -> optimize_parameters
+                  -> print/display/save at the reference cadences }
+  -> update_learning_rate per epoch
+
+e.g.  python train.py --model pix2pix --dataset_mode synthetic \
+        --netG unet_d4 --crop_size 64 --input_nc 1 --output_nc 1 --batch_size 4
+
+The hot loop enqueues one jitted step per batch; losses only sync the device
+at --print_freq (get_current_losses), like the reference's print points.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from biasgan_tpu.config import format_config, parse_config, save_config
+from biasgan_tpu.data import create_dataset
+from biasgan_tpu.models import create_model
+from biasgan_tpu.utils.visualizer import Visualizer
+
+
+def main(argv=None):
+    cfg = parse_config(argv, train=True)
+    dataset = create_dataset(cfg)
+    cfg.steps_per_epoch = len(dataset)
+    print(format_config(cfg))
+    save_config(cfg)
+    print(f"The number of training images = {dataset.num_samples}")
+
+    model = create_model(cfg)
+    model.setup()
+    visualizer = Visualizer(cfg)
+    total_iters = 0
+
+    for epoch in range(cfg.epoch_count, cfg.n_epochs + cfg.n_epochs_decay + 1):
+        epoch_start = time.time()
+        t_data_mark = time.time()
+        for data in dataset:
+            t_data = time.time() - t_data_mark
+            iter_start = time.time()
+            total_iters += cfg.batch_size
+
+            model.set_input(data)
+            model.optimize_parameters()
+
+            if total_iters % cfg.print_freq < cfg.batch_size:
+                losses = model.get_current_losses()  # device sync point
+                t_comp = (time.time() - iter_start) / cfg.batch_size
+                visualizer.print_current_losses(
+                    epoch, total_iters, losses, t_comp, t_data
+                )
+            if total_iters % cfg.display_freq < cfg.batch_size:
+                visualizer.display_current_results(
+                    model.get_current_visuals(), epoch
+                )
+            if total_iters % cfg.save_latest_freq < cfg.batch_size:
+                print(f"saving latest (epoch {epoch}, total_iters {total_iters})")
+                tag = f"iter_{total_iters}" if cfg.save_by_iter else "latest"
+                model.save_networks(tag)
+            t_data_mark = time.time()
+
+        if epoch % cfg.save_epoch_freq == 0:
+            print(f"saving model at end of epoch {epoch}, iters {total_iters}")
+            model.save_networks("latest")
+            model.save_networks(f"epoch_{epoch}")
+
+        lr = model.update_learning_rate()
+        print(
+            f"End of epoch {epoch} / {cfg.n_epochs + cfg.n_epochs_decay} \t "
+            f"Time: {time.time() - epoch_start:.1f}s \t lr: {lr:.3e}"
+        )
+    return model
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -24,11 +24,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+from biasgan_tpu import enable_compile_cache
+
+enable_compile_cache()
 from biasgan_tpu.config import merge_config_cls, TrainConfig
 from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
 
-# Round-1 f32 reference point (samples/sec/chip on TPU v5e, this repo @ r1).
-REF_R1 = None  # filled after first TPU measurement; None -> vs_baseline=1.0
+# Round-1 f32 reference point (samples/sec/chip on TPU v5e, this repo @ r1,
+# first honest measurement with host-readback sync — see BASELINE.md).
+REF_R1 = 656.4
 
 
 def main():
@@ -50,15 +54,18 @@ def main():
     a = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.float32)
     batch_data = {"A": a, "B": jnp.tanh(a)}
 
-    # warmup (compile + 2 steps)
+    # warmup (compile + 2 steps). NOTE: block_until_ready is a no-op through
+    # the axon tunnel (verified: it "measured" >100x device peak); a host
+    # readback of a scalar is the only reliable sync point, so every timing
+    # below ends with float(...) on a loss value.
     for i in range(3):
         state, losses, _ = step(state, batch_data, jax.random.fold_in(rng, i))
-    jax.block_until_ready(losses)
+    float(losses["G_GAN"])
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, losses, _ = step(state, batch_data, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(losses)
+    float(losses["G_GAN"])  # sync: depends on the whole step chain
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch * steps / dt

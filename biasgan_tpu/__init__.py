@@ -20,3 +20,22 @@ Layer map (SURVEY.md section 1, "TPU-rebuild layer mapping"):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = "") -> None:
+    """Opt-in JAX persistent compilation cache (set BIASGAN_CACHE_DIR=<dir>):
+    first compile of a full GAN train step is tens of seconds on TPU; with the
+    cache, reruns are ~free. Called by every CLI driver but a NO-OP unless
+    explicitly requested — on this environment's axon-tunnel TPU backend the
+    persistent cache deadlocks execution (verified: any jitted computation
+    hangs at host readback with the cache dir set), so it must never be the
+    default."""
+    import os
+
+    cache = path or os.environ.get("BIASGAN_CACHE_DIR")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -105,6 +105,11 @@ class TrainConfig(BaseConfig):
     save_epoch_freq: int = 5
     save_by_iter: bool = False
     display_freq: int = 400
+    # in-graph spectral/PDF validation cadence (BASELINE.json line 11); 0 = off
+    val_freq: int = 0
+    # capture a jax.profiler trace of steps 10-20 of the first epoch into
+    # <run_dir>/profile (view with TensorBoard's profile plugin)
+    profile: bool = False
     # dataset-size dependent; set by the driver for in-graph LR schedules
     steps_per_epoch: int = 0
 

@@ -137,6 +137,25 @@ class BaseModel:
     def get_image_paths(self) -> List[str]:
         return self._paths
 
+    def compute_validation_metrics(self) -> Dict[str, float]:
+        """In-graph spectral/PDF/per-pixel parity of the corrected field vs
+        the target (BASELINE.json line 11), on the current visuals. Jitted
+        once; returns name -> float."""
+        if not hasattr(self, "_val_fn"):
+            from biasgan_tpu.ops.metrics import validation_metrics
+
+            # tanh outputs live in [-1, 1]; standardized fields ~N(0,1)
+            bounded = getattr(self.cfg, "netG_activation", "tanh") == "tanh"
+            lo, hi = (-1.0, 1.0) if bounded else (-5.0, 5.0)
+            self._val_fn = jax.jit(
+                lambda f, r: validation_metrics(f, r, lo, hi)
+            )
+        fake = self._visuals.get("fake_B")
+        real = self._visuals.get("real_B")
+        if fake is None or real is None:
+            return {}
+        return {k: float(v) for k, v in self._val_fn(fake, real).items()}
+
     def compute_visuals(self):  # reference hook (no-op for these models)
         pass
 

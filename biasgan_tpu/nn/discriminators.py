@@ -13,7 +13,13 @@ from typing import Any, Optional
 import jax
 from flax import linen as nn
 
-from biasgan_tpu.nn.layers import Conv2d, Norm, SpatialCtx, norm_uses_bias
+from biasgan_tpu.nn.layers import (
+    Conv2d,
+    Norm,
+    SpatialCtx,
+    norm_act,
+    norm_uses_bias,
+)
 
 Array = jax.Array
 
@@ -57,15 +63,17 @@ class NLayerDiscriminator(nn.Module):
                 self.ndf * nf, (4, 4), strides=(2, 2), padding=(1, 1),
                 use_bias=use_bias, name=f"conv{n}", **common,
             )(h, ctx)
-            h = Norm(self.norm_type, name=f"norm{n}")(h, train, ctx)
-            h = _lrelu(h)
+            h = norm_act(
+                h, self.norm_type, f"norm{n}", train, ctx, activation="lrelu"
+            )
         nf = min(2**self.n_layers, 8)
         h = Conv2d(
             self.ndf * nf, (4, 4), strides=(1, 1), padding=(1, 1),
             use_bias=use_bias, name=f"conv{self.n_layers}", **common,
         )(h, ctx)
-        h = Norm(self.norm_type, name=f"norm{self.n_layers}")(h, train, ctx)
-        h = _lrelu(h)
+        h = norm_act(
+            h, self.norm_type, f"norm{self.n_layers}", train, ctx, activation="lrelu"
+        )
         return Conv2d(
             1, (4, 4), strides=(1, 1), padding=(1, 1), use_bias=True,
             name="conv_out", **common,
@@ -96,6 +104,5 @@ class PixelDiscriminator(nn.Module):
         h = Conv2d(self.ndf * 2, (1, 1), use_bias=use_bias, name="conv1", **common)(
             h, ctx
         )
-        h = Norm(self.norm_type, name="norm1")(h, train, ctx)
-        h = _lrelu(h)
+        h = norm_act(h, self.norm_type, "norm1", train, ctx, activation="lrelu")
         return Conv2d(1, (1, 1), use_bias=use_bias, name="conv_out", **common)(h, ctx)

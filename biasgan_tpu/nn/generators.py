@@ -28,6 +28,7 @@ from biasgan_tpu.nn.layers import (
     ConvTranspose2d,
     Norm,
     SpatialCtx,
+    norm_act,
     norm_uses_bias,
 )
 
@@ -165,13 +166,12 @@ class ResNetBlock(nn.Module):
             )(h, ctx)
 
         h = conv("conv0", x)
-        h = Norm(self.norm_type, name="norm0")(h, train, ctx)
-        h = nn.relu(h)
+        h = norm_act(h, self.norm_type, "norm0", train, ctx, activation="relu")
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = conv("conv1", h)
-        h = Norm(self.norm_type, name="norm1")(h, train, ctx)
-        return x + h
+        # fused: instance_norm(h) + x in one kernel (Pallas on TPU)
+        return norm_act(h, self.norm_type, "norm1", train, ctx, residual=x)
 
 
 class ResNetGenerator(nn.Module):
@@ -218,8 +218,7 @@ class ResNetGenerator(nn.Module):
             name="stem",
             **common,
         )(x, ctx)
-        h = Norm(self.norm_type, name="stem_norm")(h, train, ctx)
-        h = nn.relu(h)
+        h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu")
         # downsample (zero padding, reference semantics)
         for i in range(2):
             _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
@@ -234,8 +233,9 @@ class ResNetGenerator(nn.Module):
                 name=f"down{i}",
                 **common,
             )(h, ctx)
-            h = Norm(self.norm_type, name=f"down_norm{i}")(h, train, ctx)
-            h = nn.relu(h)
+            h = norm_act(
+                h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu"
+            )
         # residual blocks
         for i in range(self.n_blocks):
             h = ResNetBlock(
@@ -259,8 +259,9 @@ class ResNetGenerator(nn.Module):
                 name=f"up{i}",
                 **common,
             )(h, ctx)
-            h = Norm(self.norm_type, name=f"up_norm{i}")(h, train, ctx)
-            h = nn.relu(h)
+            h = norm_act(
+                h, self.norm_type, f"up_norm{i}", train, ctx, activation="relu"
+            )
         # head
         h = Conv2d(
             self.output_nc,

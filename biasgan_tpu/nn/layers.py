@@ -320,6 +320,48 @@ class Norm(nn.Module):
         raise ValueError(f"unknown norm {self.norm_type!r}")
 
 
+def apply_activation(x: Array, activation: str) -> Array:
+    if activation == "none":
+        return x
+    if activation == "relu":
+        return nn.relu(x)
+    if activation == "lrelu":
+        return nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def norm_act(
+    x: Array,
+    norm_type: str,
+    name: str,
+    train: bool = False,
+    ctx: Optional[SpatialCtx] = None,
+    activation: str = "none",
+    residual: Optional[Array] = None,
+    eps: float = 1e-5,
+) -> Array:
+    """norm -> [+ residual] -> activation, the chain that follows every conv.
+
+    For instance norm on a single device this lowers to ONE fused Pallas
+    kernel (ops/pallas_fused.py): mean/var, normalize, residual add and
+    activation in a single VMEM pass — the "conv+norm+activation blocks
+    lowered to Pallas where XLA fusion falls short" mandate (BASELINE.json:5).
+    Batch/none norms and spatially-sharded instance norm (cross-shard pmean
+    stats) take the plain XLA path. Must be called inside an nn.compact
+    context when norm_type needs parameters ('batch')."""
+    if norm_type == "instance" and ctx is None:
+        from biasgan_tpu.ops.pallas_fused import fused_instance_norm_act
+
+        return fused_instance_norm_act(x, residual, activation, eps)
+    if norm_type == "instance":
+        h = instance_norm(x, eps, ctx)
+    else:
+        h = Norm(norm_type, eps, name=name)(x, train, ctx)
+    if residual is not None:
+        h = h + residual
+    return apply_activation(h, activation)
+
+
 def norm_uses_bias(norm_type: str) -> bool:
     """Reference: conv bias is used iff the following norm is not batch norm
     (batch norm's own bias makes it redundant)."""

@@ -159,9 +159,12 @@ def fused_instance_norm_act(
     Matches ``instance_norm`` in nn/layers.py (affine-free, f32 stats) —
     asserted to float tolerance by tests/unit/test_pallas.py.
     """
+    import os
+
     if (
         use_pallas
         and _HAS_PALLAS
+        and not os.environ.get("BIASGAN_NO_PALLAS")
         and _block_fits(x)
         and (interpret or jax.default_backend() == "tpu")
     ):
@@ -171,23 +174,26 @@ def fused_instance_norm_act(
 
 def _fwd(x, residual, activation, eps, use_pallas, interpret):
     out = fused_instance_norm_act(x, residual, activation, eps, use_pallas, interpret)
-    # recompute-light residuals: xhat and inv_std from a cheap second pass
+    # recompute-light residuals: xhat and inv_std from a cheap second pass.
+    # `residual` rides along only for its pytree structure (None vs array) —
+    # custom_vjp residuals must be JAX types, so no dtypes/bools here.
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     xhat = (xf - mean) * inv
-    return out, (xhat, inv, out, residual is not None, x.dtype)
+    return out, (xhat, inv, out, residual)
 
 
 def _bwd(activation, eps, use_pallas, interpret, res, g):
-    xhat, inv, out, has_res, in_dtype = res
+    xhat, inv, out, residual = res
+    in_dtype = out.dtype
     gf = g.astype(jnp.float32)
     dz = gf * _act_grad_from_out(out.astype(jnp.float32), activation)
     m_dz = jnp.mean(dz, axis=(1, 2), keepdims=True)
     m_dzx = jnp.mean(dz * xhat, axis=(1, 2), keepdims=True)
     dx = inv * (dz - m_dz - xhat * m_dzx)
-    d_res = dz.astype(in_dtype) if has_res else None
+    d_res = dz.astype(residual.dtype) if residual is not None else None
     return dx.astype(in_dtype), d_res
 
 

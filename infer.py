@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from biasgan_tpu import enable_compile_cache
+
+enable_compile_cache()
 from biasgan_tpu.config import format_config, parse_config, save_config
 from biasgan_tpu.data import create_dataset
 from biasgan_tpu.models import create_model
@@ -66,18 +69,29 @@ def main(argv=None):
 
         g_module, _ = build_nets(cfg)
     g_vars = model.state.nets.get("G", model.state.nets.get("G_A"))
+    # checkpoint-restored arrays are committed to one device; replicate them
+    # over the spatial mesh or jit refuses the mixed device assignment
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    g_vars = jax.device_put(g_vars, NamedSharding(mesh, PartitionSpec()))
 
     fwd = spatial_apply(g_module, mesh, train=False, periodic=periodic)
 
     h_multiple = 2 ** generator_downs(cfg.netG)
 
+    from biasgan_tpu.data.transforms import standardize
+
     @jax.jit
-    def run(variables, x):
+    def run(variables, x, a_mean, a_std, b_mean, b_std):
+        # standardize with source-domain stats (training-time semantics:
+        # prepare_batch does the same in-graph inside the train step),
+        # destandardize the corrected field to target-domain physical units
+        x = standardize(x, a_mean, a_std)
         # latitude is not periodic: reflect-pad H; longitude wraps
         xp, h0 = pad_to_multiple(x, h_multiple, axis=1, mode="reflect")
         xp, w0 = pad_to_multiple(xp, multiple, axis=2, mode="wrap")
-        y = fwd(variables, xp)
-        return y[:, :h0, :w0, :]
+        y = fwd(variables, xp)[:, :h0, :w0, :]
+        return standardize(y, b_mean, b_std, inverse=True)
 
     out_dir = os.path.join(cfg.results_dir, cfg.resolved_name(), "fields")
     os.makedirs(out_dir, exist_ok=True)
@@ -85,8 +99,20 @@ def main(argv=None):
         if cfg.num_test and i >= cfg.num_test:
             break
         x = jnp.asarray(data["A"])
+        nc = x.shape[-1]
+        ident = (jnp.zeros((nc,)), jnp.ones((nc,)))
+        a_mean, a_std = (
+            (jnp.asarray(data["A_mean"][0]), jnp.asarray(data["A_std"][0]))
+            if "A_mean" in data
+            else ident
+        )
+        b_mean, b_std = (
+            (jnp.asarray(data["B_mean"][0]), jnp.asarray(data["B_std"][0]))
+            if "B_mean" in data
+            else ident
+        )
         t0 = time.time()
-        y = np.asarray(run(g_vars, x))
+        y = np.asarray(run(g_vars, x, a_mean, a_std, b_mean, b_std))
         dt = time.time() - t0
         px_per_s = (y.shape[1] * y.shape[2] * y.shape[0]) / dt
         print(

@@ -122,3 +122,16 @@ def test_resume_continues_identically(trained, tmp_path):
         jax.tree_util.tree_leaves(s1.nets), jax.tree_util.tree_leaves(s2r.nets)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_validation_metrics_in_graph(trained):
+    """BASELINE.json line 11: in-graph spectral/PDF validation bundle runs
+    jitted on training visuals and yields finite scalars."""
+    from biasgan_tpu.ops.metrics import validation_metrics
+
+    _, _, _, visuals = trained
+    m = jax.jit(validation_metrics)(visuals["fake_B"], visuals["real_B"])
+    assert set(m) == {"rmse", "bias", "pdf_tv", "log_spectral_distance"}
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert 0.0 <= float(m["pdf_tv"]) <= 1.0

@@ -1,0 +1,102 @@
+"""Climate HDF5 data layer (data/climate.py, data/stats.py).
+
+Covers: variable autodiscovery, one-pass streaming stats (cached as JSON),
+patch slab reads with periodic-longitude wraparound, paired/unpaired index
+semantics, and the full-field mode used by infer.py.
+"""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from biasgan_tpu.config import parse_config
+from biasgan_tpu.data import create_dataset
+from biasgan_tpu.data.stats import compute_stats, load_or_compute_stats
+
+H, W, T = 20, 36, 4
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("climate")
+    for side, seed in (("A", 0), ("B", 5)):
+        d = tmp / ("train" + side)
+        d.mkdir()
+        rng = np.random.default_rng(seed)
+        with h5py.File(d / "f0.h5", "w") as f:
+            f["precip"] = rng.gamma(2.0, 3.0, (T, H, W)).astype(np.float32)
+            f["t2m"] = rng.normal(285.0, 12.0, (T, H, W)).astype(np.float32)
+    return tmp
+
+
+def _cfg(root, extra=None):
+    return parse_config(
+        [
+            "--model", "pix2pix", "--dataset_mode", "climate",
+            "--dataroot", str(root), "--phase", "train",
+            "--input_nc", "2", "--output_nc", "2", "--crop_size", "8",
+            "--batch_size", "2", "--checkpoints_dir", str(root / "ck"),
+        ]
+        + (extra or []),
+        train=True,
+    )
+
+
+def test_sample_shapes_and_stats(root):
+    ds = create_dataset(_cfg(root))
+    batch = next(iter(ds))
+    assert batch["A"].shape == (2, 8, 8, 2)
+    assert batch["B"].shape == (2, 8, 8, 2)
+    assert batch["A_mean"].shape == (2, 2) and batch["A_std"].shape == (2, 2)
+    # variables sorted alphabetically: precip (idx 0), t2m (idx 1)
+    assert 280.0 < batch["A_mean"][0, 1] < 290.0
+    assert batch["A_std"][0, 1] > 5.0
+    # stats cached as JSON next to the data
+    assert os.path.exists(root / "stats_A.json")
+
+
+def test_stats_streaming_matches_numpy(root):
+    files = [str(root / "trainA" / "f0.h5")]
+    st = compute_stats(files, ["t2m"])
+    with h5py.File(files[0]) as f:
+        arr = np.asarray(f["t2m"])
+    np.testing.assert_allclose(st["t2m"]["mean"], arr.mean(), rtol=1e-6)
+    np.testing.assert_allclose(st["t2m"]["std"], arr.std(), rtol=1e-5)
+
+
+def test_stats_cache_reused(root, tmp_path):
+    cache = tmp_path / "st.json"
+    fake = {"t2m": {"mean": 1.0, "std": 2.0}}
+    cache.write_text(json.dumps(fake))
+    st = load_or_compute_stats(str(cache), [str(root / "trainA" / "f0.h5")], ["t2m"])
+    assert st == fake  # cache wins over recompute
+
+
+def test_periodic_longitude_wraparound(root):
+    from biasgan_tpu.registry import get_dataset
+
+    ds = get_dataset("climate")(_cfg(root))
+    # window straddling the dateline: x + w > W
+    patch = ds.A.read(1, window=(2, W - 3, 6, 8))
+    assert patch.shape == (6, 8, 2)
+    with h5py.File(root / "trainA" / "f0.h5") as f:
+        t2m = np.asarray(f["t2m"])[1]
+    expect = np.concatenate([t2m[2:8, W - 3 :], t2m[2:8, :5]], axis=-1)
+    np.testing.assert_array_equal(patch[..., 1], expect)
+
+
+def test_full_field_mode(root):
+    ds = create_dataset(_cfg(root, ["--full_field", "--batch_size", "1"]))
+    batch = next(iter(ds))
+    assert batch["A"].shape == (1, H, W, 2)
+
+
+def test_unpaired_serial_index(root):
+    from biasgan_tpu.registry import get_dataset
+
+    ds = get_dataset("climate")(_cfg(root, ["--no-paired_time", "--serial_batches"]))
+    s = ds[1]
+    assert s["A"].shape == (8, 8, 2)

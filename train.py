@@ -15,9 +15,13 @@ at --print_freq (get_current_losses), like the reference's print points.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
+from biasgan_tpu import enable_compile_cache
+
+enable_compile_cache()
 from biasgan_tpu.config import format_config, parse_config, save_config
 from biasgan_tpu.data import create_dataset
 from biasgan_tpu.models import create_model
@@ -36,6 +40,8 @@ def main(argv=None):
     model.setup()
     visualizer = Visualizer(cfg)
     total_iters = 0
+    step_count = 0
+    profiling = False
 
     for epoch in range(cfg.epoch_count, cfg.n_epochs + cfg.n_epochs_decay + 1):
         epoch_start = time.time()
@@ -45,8 +51,33 @@ def main(argv=None):
             iter_start = time.time()
             total_iters += cfg.batch_size
 
+            # profiler window: steps 10-20 (post-compile, post-warmup)
+            step_count += 1
+            if cfg.profile and step_count == 10 and not profiling:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(cfg.run_dir(), "profile"))
+                profiling = True
+
             model.set_input(data)
             model.optimize_parameters()
+
+            if profiling and step_count >= 20:
+                import jax
+
+                jax.block_until_ready(model.state.step)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile trace written to {cfg.run_dir()}/profile")
+
+            if cfg.val_freq and total_iters % cfg.val_freq < cfg.batch_size:
+                metrics = model.compute_validation_metrics()
+                if metrics:
+                    visualizer.plot_current_metrics(total_iters, metrics)
+                    print(
+                        "validation: "
+                        + " ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+                    )
 
             if total_iters % cfg.print_freq < cfg.batch_size:
                 losses = model.get_current_losses()  # device sync point

@@ -40,6 +40,12 @@ class DataLoader:
         self.epoch = 0
         # static shapes: drop ragged tail when batching for training
         self.drop_last = cfg.batch_size > 1
+        # reference --num_threads: worker threads decode/transform samples
+        # while the device runs the previous step (SURVEY.md section 7 hard
+        # part 6 — the input pipeline must hide HDF5/PIL decode behind the
+        # ms-scale fused train step). 0 = synchronous (test-time default).
+        self.num_threads = max(int(getattr(cfg, "num_threads", 0)), 0)
+        self.prefetch_batches = 2
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -54,10 +60,46 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         nb = len(self)
-        for b in range(nb):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            samples = [self.dataset[int(i)] for i in idx]
-            yield _collate(samples)
+
+        def batch_indices(b: int):
+            return [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
+
+        if self.num_threads <= 0 or nb <= 1:
+            for b in range(nb):
+                yield _collate([self.dataset[i] for i in batch_indices(b)])
+            self.epoch += 1
+            return
+
+        # pipelined path: a producer thread maps sample reads over a worker
+        # pool and keeps a small queue of collated batches ahead of the
+        # consumer, so host IO/decode overlaps device compute.
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_threads) as ex:
+                    for b in range(nb):
+                        samples = list(
+                            ex.map(self.dataset.__getitem__, batch_indices(b))
+                        )
+                        q.put(_collate(samples))
+                q.put(_SENTINEL)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
         self.epoch += 1
 
 

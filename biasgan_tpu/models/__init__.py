@@ -8,6 +8,7 @@ from biasgan_tpu.models.base import BaseModel
 from biasgan_tpu.models import pix2pix  # noqa: F401 (registers 'pix2pix')
 from biasgan_tpu.models import cyclegan  # noqa: F401 (registers 'cycle_gan')
 from biasgan_tpu.models import test_model  # noqa: F401 (registers 'test')
+from biasgan_tpu.models import template  # noqa: F401 (registers 'template')
 
 
 def create_model(cfg) -> BaseModel:

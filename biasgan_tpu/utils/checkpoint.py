@@ -6,8 +6,14 @@ persist the ENTIRE train state — params of every net, BOTH optimizer states,
 step counter, LR scale and replay-pool buffers — so resume is exact (the
 reference does not checkpoint optimizer state at all).
 
+Saves are ASYNC (SURVEY.md section 5 failure-detection row): orbax snapshots
+the device arrays and writes in a background thread while the train loop
+keeps stepping; the checkpoint directory appears atomically (rename) only
+when complete, so ``has_checkpoint`` / restore never see partial state. Call
+``wait_for_saves()`` before process exit (train.py does).
+
 Layout: <run_dir>/ckpt/<tag>/  where tag is 'latest', 'epoch_<N>' or
-'iter_<N>' (reference tag scheme).
+'iter_<N>' (reference tag scheme); host metadata in <tag>.meta.json.
 """
 
 from __future__ import annotations
@@ -20,45 +26,71 @@ from typing import Any, Dict, Optional
 import jax
 import orbax.checkpoint as ocp
 
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async saves are durable."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
 
 def _ckpt_path(run_dir: str, tag: str) -> str:
     return os.path.abspath(os.path.join(run_dir, "ckpt", str(tag)))
 
 
-def save_state(run_dir: str, tag: str, state, meta: Optional[Dict[str, Any]] = None):
-    """Save the full train-state pytree under <run_dir>/ckpt/<tag>."""
+def save_state(
+    run_dir: str,
+    tag: str,
+    state,
+    meta: Optional[Dict[str, Any]] = None,
+    block: bool = False,
+):
+    """Save the full train-state pytree under <run_dir>/ckpt/<tag>
+    (async unless ``block``)."""
     path = _ckpt_path(run_dir, tag)
+    ckptr = _checkpointer()
     if os.path.exists(path):  # 'latest' is overwritten every save_latest_freq
+        ckptr.wait_until_finished()  # never rmtree under an in-flight save
         shutil.rmtree(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
-    if meta is not None:
-        with open(os.path.join(path, "meta.json"), "w") as f:
+    ckptr.save(path, state)
+    if meta is not None:  # tiny host-side metadata, written immediately
+        with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
 def restore_state(run_dir: str, tag: str, abstract_state):
     """Restore into the structure of ``abstract_state`` (a concrete state of
     the right shape works; use jax.eval_shape output to avoid allocation)."""
+    wait_for_saves()  # the tag may still be in flight from this process
     path = _ckpt_path(run_dir, tag)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no checkpoint at {path}")
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, abstract_state)
-    return restored
+    return _checkpointer().restore(path, abstract_state)
 
 
 def load_meta(run_dir: str, tag: str) -> Dict[str, Any]:
-    path = os.path.join(_ckpt_path(run_dir, tag), "meta.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+    path = _ckpt_path(run_dir, tag)
+    for candidate in (path + ".meta.json", os.path.join(path, "meta.json")):
+        if os.path.exists(candidate):
+            with open(candidate) as f:
+                return json.load(f)
     return {}
 
 
 def has_checkpoint(run_dir: str, tag: str) -> bool:
+    wait_for_saves()
     return os.path.isdir(_ckpt_path(run_dir, tag))
 
 

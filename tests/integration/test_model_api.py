@@ -1,0 +1,80 @@
+"""Reference object-API surface (BaseModel wrapper): create_model ->
+set_input / optimize_parameters / get_current_losses / get_current_visuals /
+test / eval / save_networks / load_networks / update_learning_rate — the
+contract a user of the reference framework relies on (SURVEY.md section 2.2
+BaseModel row). Also covers the wgangp gan_mode at the full-step level."""
+
+import numpy as np
+import pytest
+
+from biasgan_tpu.config import parse_config
+from biasgan_tpu.data import create_dataset
+from biasgan_tpu.models import create_model
+
+
+def _cfg(tmp, extra=None, train=True):
+    phase = ["--phase", "train"] if train else []
+    return parse_config(
+        [
+            "--model", "pix2pix", "--dataset_mode", "synthetic",
+            "--netG", "unet_d4", "--crop_size", "32", "--input_nc", "1",
+            "--output_nc", "1", "--batch_size", "2", "--ngf", "8", "--ndf", "8",
+            "--synthetic_samples", "4", "--norm", "instance",
+            "--checkpoints_dir", str(tmp), "--name", "api",
+        ]
+        + phase
+        + (extra or []),
+        train=train,
+    )
+
+
+def test_reference_api_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path)
+    loader = create_dataset(cfg)
+    cfg.steps_per_epoch = len(loader)
+    model = create_model(cfg)
+    model.setup()
+
+    batch = next(iter(loader))
+    model.set_input(batch)
+    model.optimize_parameters()
+    losses = model.get_current_losses()
+    assert set(losses) == {"G_GAN", "G_L1", "D_real", "D_fake"}
+    assert all(np.isfinite(v) for v in losses.values())
+
+    visuals = model.get_current_visuals()
+    assert set(visuals) == {"real_A", "fake_B", "real_B"}
+    assert visuals["fake_B"].shape == (2, 32, 32, 1)
+    assert model.get_image_paths()  # synthetic paths carried through
+
+    lr0 = model.current_lr()
+    model.update_learning_rate()
+    assert model.current_lr() <= lr0 + 1e-12
+
+    model.save_networks("latest")
+
+    # a fresh test-phase model restores and runs no-grad inference
+    tcfg = _cfg(tmp_path, train=False)
+    tmodel = create_model(tcfg)
+    tmodel.setup()
+    tmodel.eval()
+    tmodel.set_input(batch)
+    tmodel.test()
+    out = tmodel.get_current_visuals()
+    assert out["fake_B"].shape == (2, 32, 32, 1)
+    assert np.isfinite(out["fake_B"]).all()
+
+
+def test_wgangp_full_step(tmp_path):
+    """wgangp mode: gradient penalty runs inside the jitted step and the
+    D losses carry the WGAN signs."""
+    cfg = _cfg(tmp_path, ["--gan_mode", "wgangp", "--name", "wgp"])
+    loader = create_dataset(cfg)
+    cfg.steps_per_epoch = len(loader)
+    model = create_model(cfg)
+    batch = next(iter(loader))
+    model.set_input(batch)
+    for _ in range(3):
+        model.optimize_parameters()
+    losses = model.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses

@@ -100,3 +100,32 @@ def test_unpaired_serial_index(root):
     ds = get_dataset("climate")(_cfg(root, ["--no-paired_time", "--serial_batches"]))
     s = ds[1]
     assert s["A"].shape == (8, 8, 2)
+
+
+def test_threaded_loader_matches_sync(root):
+    """num_threads>0 pipelined loader yields the same batches in the same
+    order as the synchronous path (serial indices, no shuffle)."""
+    sync = create_dataset(_cfg(root, ["--serial_batches", "--full_field",
+                                      "--batch_size", "2"]))
+    thr = create_dataset(_cfg(root, ["--serial_batches", "--full_field",
+                                     "--batch_size", "2", "--num_threads", "3"]))
+    bs, bt = list(sync), list(thr)
+    assert len(bs) == len(bt) == len(sync)
+    for a, b in zip(bs, bt):
+        np.testing.assert_array_equal(a["A"], b["A"])
+        np.testing.assert_array_equal(a["B"], b["B"])
+
+
+def test_threaded_loader_propagates_errors(root):
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    from biasgan_tpu.data import DataLoader
+
+    loader = DataLoader(Boom(), _cfg(root, ["--num_threads", "2"]))
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Measure every judged config (BASELINE.json lines 7-11) on the real chip
+and print one JSON line per row for BASELINE.md's measured table.
+
+All timings use host-readback sync (see BASELINE.md methodology warning).
+
+Usage: python tools/bench_suite.py [--steps N] [--configs a,b,...]
+Configs: tiny | paired128 | cyclegan256 | globe | (pix2pix256 = bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from biasgan_tpu.config import TrainConfig, merge_config_cls
+
+
+def _sync(tree) -> None:
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _time_steps(step, state, batch, rng, steps: int):
+    for i in range(2):
+        state, losses, _ = step(state, batch, jax.random.fold_in(rng, i))
+    _sync(losses)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, losses, _ = step(state, batch, jax.random.fold_in(rng, 100 + i))
+    _sync(losses)
+    return time.perf_counter() - t0
+
+
+def bench_pix2pix(name: str, crop: int, nc: int, batch: int, steps: int,
+                  netG: str, dtype: str = "bfloat16"):
+    from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
+
+    cls = merge_config_cls(TrainConfig, Pix2PixConfig)
+    cfg = cls(
+        model="pix2pix", netG=netG, netD="basic", norm="batch",
+        gan_mode="vanilla", pool_size=0, crop_size=crop,
+        input_nc=nc, output_nc=nc, batch_size=batch, ngf=64, ndf=64,
+        steps_per_epoch=1000, compute_dtype=dtype,
+        checkpoints_dir="/tmp/bgt_suite", name=name,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.normal(jax.random.PRNGKey(1), (batch, crop, crop, nc))
+    dt = _time_steps(step, state, {"A": a, "B": jnp.tanh(a)}, rng, steps)
+    return {"metric": name, "value": round(batch * steps / dt, 1),
+            "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
+
+
+def bench_cyclegan(steps: int, batch: int = 4, dtype: str = "bfloat16"):
+    from biasgan_tpu.models.cyclegan import CycleGANConfig, create_state, make_train_step
+
+    cls = merge_config_cls(TrainConfig, CycleGANConfig)
+    cfg = cls(
+        model="cycle_gan", netG="resnet_9blocks", netD="basic", norm="instance",
+        no_dropout=True, gan_mode="lsgan", pool_size=50, crop_size=256,
+        input_nc=3, output_nc=3, batch_size=batch, ngf=64, ndf=64,
+        steps_per_epoch=1000, compute_dtype=dtype,
+        checkpoints_dir="/tmp/bgt_suite", name="cyclegan256",
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng)
+    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    a = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3))
+    dt = _time_steps(step, state, {"A": a, "B": jnp.tanh(a)}, rng, steps)
+    return {"metric": "cyclegan_256_dual_G+D_step", "value": round(batch * steps / dt, 1),
+            "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
+
+
+def bench_globe(steps: int, dtype: str = "bfloat16"):
+    """Full-globe 721x1440 single-chip inference (resnet_9blocks G, 3ch),
+    one jitted call, periodic longitude."""
+    from biasgan_tpu.nn import define_G, init_params
+    from biasgan_tpu.parallel import pad_to_multiple
+
+    G = define_G("resnet_9blocks", output_nc=3, ngf=64, norm="instance",
+                 w_mode="wrap", compute_dtype={"bfloat16": jnp.bfloat16}.get(dtype),
+                 out_activation="none")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 721, 1440, 3))
+    v = init_params(G, jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+
+    @jax.jit
+    def run(v, x):
+        xp, h0 = pad_to_multiple(x, 4, axis=1, mode="reflect")
+        y = G.apply(v, xp, False)
+        return y[:, :h0]
+
+    y = run(v, x); _sync(y)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        y = run(v, x)
+    _sync(y)
+    dt = (time.perf_counter() - t0) / steps
+    mpx = 721 * 1440 / dt / 1e6
+    return {"metric": "globe_721x1440_inference", "value": round(mpx, 1),
+            "unit": "Mpx/sec/chip", "dtype": dtype,
+            "ms_per_field": round(dt * 1e3, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--configs", type=str, default="tiny,paired128,cyclegan256,globe")
+    args = ap.parse_args()
+    for c in args.configs.split(","):
+        if c == "tiny":
+            r = bench_pix2pix("tiny_pix2pix_64", 64, 1, 4, args.steps, "unet_d4")
+        elif c == "paired128":
+            r = bench_pix2pix("paired_128x3ch", 128, 3, 32, args.steps, "unet_128")
+        elif c == "cyclegan256":
+            r = bench_cyclegan(args.steps)
+        elif c == "globe":
+            r = bench_globe(max(args.steps // 4, 3))
+        else:
+            raise SystemExit(f"unknown config {c}")
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,10 @@ def main(argv=None):
             f"End of epoch {epoch} / {cfg.n_epochs + cfg.n_epochs_decay} \t "
             f"Time: {time.time() - epoch_start:.1f}s \t lr: {lr:.3e}"
         )
+
+    from biasgan_tpu.utils.checkpoint import wait_for_saves
+
+    wait_for_saves()  # async checkpoint writes must be durable before exit
     return model
 
 

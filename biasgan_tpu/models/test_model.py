@@ -71,6 +71,24 @@ class TestModel(base.BaseModel):
     def _make_train_step(self, axis_name):
         raise NotImplementedError("TestModel does not train")
 
+    def load_networks(self, tag):
+        """Reference semantics: with --model_suffix '_A', load net 'G_A' from
+        a differently-structured checkpoint (e.g. CycleGAN's 4-net state)
+        into this model's single 'G' slot."""
+        if not self.cfg.model_suffix:
+            return super().load_networks(tag)
+        from biasgan_tpu.utils import checkpoint as ckpt
+
+        raw = ckpt.restore_raw(self.run_dir, str(tag))
+        gname = "G" + self.cfg.model_suffix
+        nets = raw["nets"] if isinstance(raw, dict) else raw.nets
+        if gname not in nets:
+            raise KeyError(
+                f"checkpoint has nets {sorted(nets)}; no {gname!r} "
+                "(--model_suffix must name one of them)"
+            )
+        self.state = self.state.replace(nets={"G": dict(nets[gname])})
+
     def _make_eval_fn(self):
         G = self._build_g()
 

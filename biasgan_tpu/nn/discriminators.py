@@ -64,7 +64,8 @@ class NLayerDiscriminator(nn.Module):
                 use_bias=use_bias, name=f"conv{n}", **common,
             )(h, ctx)
             h = norm_act(
-                h, self.norm_type, f"norm{n}", train, ctx, activation="lrelu"
+                h, self.norm_type, f"norm{n}", train, ctx, activation="lrelu",
+                dtype=self.compute_dtype,
             )
         nf = min(2**self.n_layers, 8)
         h = Conv2d(
@@ -72,7 +73,8 @@ class NLayerDiscriminator(nn.Module):
             use_bias=use_bias, name=f"conv{self.n_layers}", **common,
         )(h, ctx)
         h = norm_act(
-            h, self.norm_type, f"norm{self.n_layers}", train, ctx, activation="lrelu"
+            h, self.norm_type, f"norm{self.n_layers}", train, ctx, activation="lrelu",
+            dtype=self.compute_dtype,
         )
         return Conv2d(
             1, (4, 4), strides=(1, 1), padding=(1, 1), use_bias=True,
@@ -104,5 +106,5 @@ class PixelDiscriminator(nn.Module):
         h = Conv2d(self.ndf * 2, (1, 1), use_bias=use_bias, name="conv1", **common)(
             h, ctx
         )
-        h = norm_act(h, self.norm_type, "norm1", train, ctx, activation="lrelu")
+        h = norm_act(h, self.norm_type, "norm1", train, ctx, activation="lrelu", dtype=self.compute_dtype)
         return Conv2d(1, (1, 1), use_bias=use_bias, name="conv_out", **common)(h, ctx)

@@ -115,16 +115,16 @@ class UNetGenerator(nn.Module):
         for i in range(1, D):
             h = conv_down(i, _lrelu(h))
             if i < D - 1:  # innermost down has no norm
-                h = Norm(self.norm_type, name=f"down_norm{i}")(h, train, ctx)
+                h = Norm(self.norm_type, dtype=self.compute_dtype, name=f"down_norm{i}")(h, train, ctx)
             d.append(h)
 
         # --- decoder ---
         u = conv_up(D - 1, nn.relu(d[D - 1]), dc[D - 2], use_bias)  # innermost
-        u = Norm(self.norm_type, name=f"up_norm{D-1}")(u, train, ctx)
+        u = Norm(self.norm_type, dtype=self.compute_dtype, name=f"up_norm{D-1}")(u, train, ctx)
         for i in range(D - 2, 0, -1):
             u = jnp.concatenate([d[i], u], axis=-1)
             u = conv_up(i, nn.relu(u), dc[i - 1], use_bias)
-            u = Norm(self.norm_type, name=f"up_norm{i}")(u, train, ctx)
+            u = Norm(self.norm_type, dtype=self.compute_dtype, name=f"up_norm{i}")(u, train, ctx)
             if self.use_dropout and dc[i] == dc[i - 1] == 8 * self.ngf:
                 u = nn.Dropout(0.5, deterministic=not train, name=f"drop{i}")(u)
         u = jnp.concatenate([d[0], u], axis=-1)
@@ -166,12 +166,12 @@ class ResNetBlock(nn.Module):
             )(h, ctx)
 
         h = conv("conv0", x)
-        h = norm_act(h, self.norm_type, "norm0", train, ctx, activation="relu")
+        h = norm_act(h, self.norm_type, "norm0", train, ctx, activation="relu", dtype=self.compute_dtype)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = conv("conv1", h)
         # fused: instance_norm(h) + x in one kernel (Pallas on TPU)
-        return norm_act(h, self.norm_type, "norm1", train, ctx, residual=x)
+        return norm_act(h, self.norm_type, "norm1", train, ctx, residual=x, dtype=self.compute_dtype)
 
 
 class ResNetGenerator(nn.Module):
@@ -218,7 +218,7 @@ class ResNetGenerator(nn.Module):
             name="stem",
             **common,
         )(x, ctx)
-        h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu")
+        h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu", dtype=self.compute_dtype)
         # downsample (zero padding, reference semantics)
         for i in range(2):
             _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
@@ -234,7 +234,8 @@ class ResNetGenerator(nn.Module):
                 **common,
             )(h, ctx)
             h = norm_act(
-                h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu"
+                h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu",
+                dtype=self.compute_dtype,
             )
         # residual blocks
         for i in range(self.n_blocks):
@@ -260,7 +261,8 @@ class ResNetGenerator(nn.Module):
                 **common,
             )(h, ctx)
             h = norm_act(
-                h, self.norm_type, f"up_norm{i}", train, ctx, activation="relu"
+                h, self.norm_type, f"up_norm{i}", train, ctx, activation="relu",
+                dtype=self.compute_dtype,
             )
         # head
         h = Conv2d(

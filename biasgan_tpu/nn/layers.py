@@ -296,6 +296,11 @@ class Norm(nn.Module):
 
     norm_type: str = "batch"
     eps: float = 1e-5
+    # computation/output dtype; None = float32. flax BatchNorm computes its
+    # mean/var in f32 regardless of dtype, so bf16 here only narrows the
+    # normalized OUTPUT — halving the activation HBM traffic that dominates
+    # the train step (measured 18.6 GB/step at 256^2 b16: bandwidth-bound).
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -310,7 +315,7 @@ class Norm(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=self.eps,
-                dtype=jnp.float32,
+                dtype=self.dtype or jnp.float32,
                 scale_init=batchnorm_scale_init,
             )(x)
         if self.norm_type == "instance":
@@ -339,6 +344,7 @@ def norm_act(
     activation: str = "none",
     residual: Optional[Array] = None,
     eps: float = 1e-5,
+    dtype: Any = None,
 ) -> Array:
     """norm -> [+ residual] -> activation, the chain that follows every conv.
 
@@ -356,7 +362,7 @@ def norm_act(
     if norm_type == "instance":
         h = instance_norm(x, eps, ctx)
     else:
-        h = Norm(norm_type, eps, name=name)(x, train, ctx)
+        h = Norm(norm_type, eps, dtype, name=name)(x, train, ctx)
     if residual is not None:
         h = h + residual
     return apply_activation(h, activation)

@@ -80,6 +80,17 @@ def restore_state(run_dir: str, tag: str, abstract_state):
     return _checkpointer().restore(path, abstract_state)
 
 
+def restore_raw(run_dir: str, tag: str):
+    """Restore a checkpoint with its saved structure (no abstract tree) —
+    for cross-model loading, e.g. TestModel extracting G_A from a CycleGAN
+    checkpoint (reference --model_suffix semantics)."""
+    wait_for_saves()
+    path = _ckpt_path(run_dir, tag)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    return _checkpointer().restore(path)
+
+
 def load_meta(run_dir: str, tag: str) -> Dict[str, Any]:
     path = _ckpt_path(run_dir, tag)
     for candidate in (path + ".meta.json", os.path.join(path, "meta.json")):

@@ -60,7 +60,7 @@ def bench_pix2pix(name: str, crop: int, nc: int, batch: int, steps: int,
             "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
 
 
-def bench_cyclegan(steps: int, batch: int = 4, dtype: str = "bfloat16"):
+def bench_cyclegan(steps: int, batch: int = 8, dtype: str = "bfloat16"):
     from biasgan_tpu.models.cyclegan import CycleGANConfig, create_state, make_train_step
 
     cls = merge_config_cls(TrainConfig, CycleGANConfig)

@@ -107,6 +107,10 @@ class TrainConfig(BaseConfig):
     display_freq: int = 400
     # in-graph spectral/PDF validation cadence (BASELINE.json line 11); 0 = off
     val_freq: int = 0
+    # run K optimization steps per device dispatch via lax.scan (amortizes
+    # per-dispatch latency — dominant for small configs); 1 = reference-style
+    # host loop. print/save cadences still apply, rounded to K-step chunks.
+    steps_per_call: int = 1
     # capture a jax.profiler trace of steps 10-20 of the first epoch into
     # <run_dir>/profile (view with TensorBoard's profile plugin)
     profile: bool = False

@@ -61,12 +61,19 @@ class BaseModel:
             self.mesh = make_mesh(data=cfg.data_mesh)
             axis_name = "data"
 
+        self.steps_per_call = max(int(getattr(cfg, "steps_per_call", 1)), 1)
         if self.is_train:
             step = self._make_train_step(axis_name)
+            if self.steps_per_call > 1:
+                from biasgan_tpu.models.common import make_scan_step
+
+                step = make_scan_step(step, self.steps_per_call)
             if self.mesh is not None:
                 from biasgan_tpu.parallel import data_parallel_step
 
-                step = data_parallel_step(step, self.mesh)
+                step = data_parallel_step(
+                    step, self.mesh, batch_axis=1 if self.steps_per_call > 1 else 0
+                )
                 self._train_step = jax.jit(step)
             else:
                 self._train_step = jax.jit(step, donate_argnums=0)
@@ -105,7 +112,11 @@ class BaseModel:
         if self.mesh is not None:
             from biasgan_tpu.parallel import shard_batch
 
-            self._batch = shard_batch(self._batch, self.mesh)
+            self._batch = shard_batch(
+                self._batch,
+                self.mesh,
+                batch_axis=1 if (self.is_train and self.steps_per_call > 1) else 0,
+            )
 
     def optimize_parameters(self):
         rng = jax.random.fold_in(self._rng, self._host_step)
@@ -125,7 +136,12 @@ class BaseModel:
         self._is_eval = True
 
     def get_current_losses(self) -> Dict[str, float]:
-        return {k: float(v) for k, v in self._losses.items()}
+        # multi-step (lax.scan) calls return per-step (k,) loss arrays;
+        # report the most recent step, matching reference print semantics
+        return {
+            k: float(v[-1] if getattr(v, "ndim", 0) else v)
+            for k, v in self._losses.items()
+        }
 
     def get_current_visuals(self) -> Dict[str, np.ndarray]:
         return {

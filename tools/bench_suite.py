@@ -60,6 +60,38 @@ def bench_pix2pix(name: str, crop: int, nc: int, batch: int, steps: int,
             "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
 
 
+def bench_tiny_scan(steps: int, k: int = 16, dtype: str = "bfloat16"):
+    """Judged tiny config with the multi-step device loop: one dispatch scans
+    k optimization steps (models/common.py make_scan_step), amortizing the
+    per-dispatch latency that dominates at 64x64 batch 4."""
+    from biasgan_tpu.models.common import make_scan_step
+    from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
+
+    cls = merge_config_cls(TrainConfig, Pix2PixConfig)
+    cfg = cls(
+        model="pix2pix", netG="unet_d4", netD="basic", norm="batch",
+        gan_mode="vanilla", pool_size=0, crop_size=64, input_nc=1,
+        output_nc=1, batch_size=4, ngf=64, ndf=64, steps_per_epoch=1000,
+        compute_dtype=dtype, checkpoints_dir="/tmp/bgt_suite", name="tiny_scan",
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng)
+    scan = jax.jit(make_scan_step(make_train_step(cfg), k), donate_argnums=0)
+    a = jax.random.normal(jax.random.PRNGKey(1), (k, 4, 64, 64, 1))
+    sb = {"A": a, "B": jnp.tanh(a)}
+    state, lk, _ = scan(state, sb, rng)
+    _sync(lk)
+    t0 = time.perf_counter()
+    m = max(steps // 4, 2)
+    for i in range(m):
+        state, lk, _ = scan(state, sb, jax.random.fold_in(rng, i))
+    _sync(lk)
+    dt = time.perf_counter() - t0
+    return {"metric": "tiny_pix2pix_64_scan16", "value": round(4 * k * m / dt, 1),
+            "unit": "samples/sec/chip", "dtype": dtype, "batch": 4,
+            "steps_per_call": k}
+
+
 def bench_cyclegan(steps: int, batch: int = 8, dtype: str = "bfloat16"):
     from biasgan_tpu.models.cyclegan import CycleGANConfig, create_state, make_train_step
 
@@ -118,6 +150,8 @@ def main():
     for c in args.configs.split(","):
         if c == "tiny":
             r = bench_pix2pix("tiny_pix2pix_64", 64, 1, 4, args.steps, "unet_d4")
+        elif c == "tiny_scan":
+            r = bench_tiny_scan(args.steps)
         elif c == "paired128":
             r = bench_pix2pix("paired_128x3ch", 128, 3, 32, args.steps, "unet_128")
         elif c == "cyclegan256":

@@ -43,13 +43,33 @@ def main(argv=None):
     step_count = 0
     profiling = False
 
+    spc = max(cfg.steps_per_call, 1)
+
+    def batch_stream(ds):
+        """Yield batches; for steps_per_call>1, yield (k, B, ...) stacks so
+        one dispatch scans k optimization steps on device."""
+        if spc == 1:
+            yield from ds
+            return
+        from biasgan_tpu.models.common import stack_batches
+
+        group = []
+        for b in ds:
+            group.append(b)
+            if len(group) == spc:
+                stacked = stack_batches(group)
+                stacked["A_paths"] = group[-1].get("A_paths", [])
+                yield stacked
+                group = []
+        # drop ragged tail: static shapes only under jit
+
     for epoch in range(cfg.epoch_count, cfg.n_epochs + cfg.n_epochs_decay + 1):
         epoch_start = time.time()
         t_data_mark = time.time()
-        for data in dataset:
+        for data in batch_stream(dataset):
             t_data = time.time() - t_data_mark
             iter_start = time.time()
-            total_iters += cfg.batch_size
+            total_iters += cfg.batch_size * spc
 
             # profiler window: steps 10-20 (post-compile, post-warmup)
             step_count += 1
@@ -70,7 +90,7 @@ def main(argv=None):
                 profiling = False
                 print(f"profile trace written to {cfg.run_dir()}/profile")
 
-            if cfg.val_freq and total_iters % cfg.val_freq < cfg.batch_size:
+            if cfg.val_freq and total_iters % cfg.val_freq < cfg.batch_size * spc:
                 metrics = model.compute_validation_metrics()
                 if metrics:
                     visualizer.plot_current_metrics(total_iters, metrics)
@@ -79,17 +99,17 @@ def main(argv=None):
                         + " ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
                     )
 
-            if total_iters % cfg.print_freq < cfg.batch_size:
+            if total_iters % cfg.print_freq < cfg.batch_size * spc:
                 losses = model.get_current_losses()  # device sync point
-                t_comp = (time.time() - iter_start) / cfg.batch_size
+                t_comp = (time.time() - iter_start) / (cfg.batch_size * spc)
                 visualizer.print_current_losses(
                     epoch, total_iters, losses, t_comp, t_data
                 )
-            if total_iters % cfg.display_freq < cfg.batch_size:
+            if total_iters % cfg.display_freq < cfg.batch_size * spc:
                 visualizer.display_current_results(
                     model.get_current_visuals(), epoch
                 )
-            if total_iters % cfg.save_latest_freq < cfg.batch_size:
+            if total_iters % cfg.save_latest_freq < cfg.batch_size * spc:
                 print(f"saving latest (epoch {epoch}, total_iters {total_iters})")
                 tag = f"iter_{total_iters}" if cfg.save_by_iter else "latest"
                 model.save_networks(tag)

@@ -36,13 +36,14 @@ REF_R1 = 656.4
 
 
 def main():
-    # batch 64 is the measured single-chip throughput sweet spot (the step is
-    # HBM-bandwidth-bound; larger batches amortize the fixed param/optimizer
-    # traffic — see BASELINE.md profiling note). samples/sec/chip is the
-    # judged metric, batch is free.
+    # batch 128 is the measured single-chip throughput sweet spot (the step
+    # is HBM-bandwidth-bound; larger batches amortize the fixed
+    # param/optimizer traffic — see BASELINE.md profiling note: 16->940,
+    # 64->1055, 128->1306 samples/s). samples/sec/chip is the judged metric,
+    # batch is free.
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
 
     cls = merge_config_cls(TrainConfig, Pix2PixConfig)
     cfg = cls(

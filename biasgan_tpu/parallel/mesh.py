@@ -23,5 +23,14 @@ def make_mesh(
             f"mesh requires {n} devices (data={data} x spatial={spatial}) "
             f"but only {len(devices)} are visible"
         )
-    dev = mesh_utils.create_device_mesh((data, spatial), devices=devices[:n])
-    return Mesh(dev, ("data", "spatial"))
+    # Single-axis meshes when only one kind of parallelism is active: Pallas
+    # remote DMA with LOGICAL device ids only supports one named mesh axis,
+    # and a squeezed mesh is what the collectives ride anyway.
+    if data > 1 and spatial == 1:
+        shape, names = (data,), ("data",)
+    elif spatial > 1 and data == 1:
+        shape, names = (spatial,), ("spatial",)
+    else:
+        shape, names = (data, spatial), ("data", "spatial")
+    dev = mesh_utils.create_device_mesh(shape, devices=devices[:n])
+    return Mesh(dev, names)

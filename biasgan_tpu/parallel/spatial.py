@@ -51,6 +51,12 @@ class HaloCtx:
     axis: str = "spatial"
     n_shards: int = 1
     periodic: bool = True
+    # use the Pallas inter-chip RDMA ring (ops/pallas_halo.py) instead of
+    # lax.ppermute — both halo directions ride the two ICI ring directions
+    # concurrently. Inference-only (no VJP). interpret=True runs the kernel
+    # under the Pallas TPU interpreter (CPU tests).
+    rdma: bool = False
+    interpret: bool = False
 
     def _perm(self, towards_right: bool):
         n = self.n_shards
@@ -67,6 +73,14 @@ class HaloCtx:
     def pad_w(self, x: Array, left: int, right: int) -> Array:
         """Exchange halos along W (axis 2 of NHWC). Non-periodic global edges
         receive zeros (ppermute zero-fills missing sources = zero padding)."""
+        if self.rdma and (left > 0 or right > 0):
+            from biasgan_tpu.ops.pallas_halo import halo_exchange_w
+
+            lh, rh = halo_exchange_w(
+                x, left, right, self.axis, self.periodic, self.interpret
+            )
+            parts = ([lh] if left > 0 else []) + [x] + ([rh] if right > 0 else [])
+            return jnp.concatenate(parts, axis=2)
         parts = []
         if left > 0:
             send = x[:, :, -left:, :]
@@ -108,12 +122,20 @@ def spatial_apply(
     train: bool = False,
     periodic: bool = True,
     mesh_axis: str = "spatial",
+    rdma: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Callable[[Any, Array], Array]:
     """Build fn(variables, x_global) running ``module`` with x's W axis
     sharded over ``mesh_axis``. Jit the result once and reuse — one jitted
-    call end-to-end, collectives ride ICI."""
+    call end-to-end, collectives ride ICI. ``rdma=True`` swaps the ppermute
+    halo exchange for the Pallas remote-DMA ring (inference only)."""
     n = mesh.shape[mesh_axis]
-    ctx = HaloCtx(axis=mesh_axis, n_shards=n, periodic=periodic)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ctx = HaloCtx(
+        axis=mesh_axis, n_shards=n, periodic=periodic, rdma=rdma,
+        interpret=interpret,
+    )
 
     def fwd(variables, x_local):
         return module.apply(variables, x_local, train, ctx)

@@ -24,8 +24,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-from biasgan_tpu import enable_compile_cache
+from biasgan_tpu import enable_compile_cache, respect_platform_env
 
+respect_platform_env()
 enable_compile_cache()
 from biasgan_tpu.config import merge_config_cls, TrainConfig
 from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
@@ -41,9 +42,12 @@ def main():
     # param/optimizer traffic — see BASELINE.md profiling note: 16->940,
     # 64->1055, 128->1306 samples/s). samples/sec/chip is the judged metric,
     # batch is free.
+    # BENCH_SCAN=K additionally runs K optimization steps per dispatch via
+    # the in-graph lax.scan device loop (models/common.py make_scan_step).
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    scan_k = int(os.environ.get("BENCH_SCAN", "4"))
 
     cls = merge_config_cls(TrainConfig, Pix2PixConfig)
     cfg = cls(
@@ -55,25 +59,38 @@ def main():
     )
     rng = jax.random.PRNGKey(0)
     state = create_state(cfg, rng)
-    step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    step_fn = make_train_step(cfg)
+    if scan_k > 1:
+        from biasgan_tpu.models.common import make_scan_step
+
+        step_fn = make_scan_step(step_fn, scan_k)
+    step = jax.jit(step_fn, donate_argnums=0)
     a = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.float32)
     batch_data = {"A": a, "B": jnp.tanh(a)}
+    if scan_k > 1:
+        batch_data = {
+            k: jnp.broadcast_to(v, (scan_k,) + v.shape) for k, v in batch_data.items()
+        }
 
     # warmup (compile + 2 steps). NOTE: block_until_ready is a no-op through
     # the axon tunnel (verified: it "measured" >100x device peak); a host
     # readback of a scalar is the only reliable sync point, so every timing
     # below ends with float(...) on a loss value.
+    def sync(losses):
+        v = losses["G_GAN"]
+        return float(v[-1] if getattr(v, "ndim", 0) else v)
+
     for i in range(3):
         state, losses, _ = step(state, batch_data, jax.random.fold_in(rng, i))
-    float(losses["G_GAN"])
+    sync(losses)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, losses, _ = step(state, batch_data, jax.random.fold_in(rng, 100 + i))
-    float(losses["G_GAN"])  # sync: depends on the whole step chain
+    sync(losses)  # sync: depends on the whole step chain
     dt = time.perf_counter() - t0
 
-    samples_per_sec = batch * steps / dt
+    samples_per_sec = batch * scan_k * steps / dt
     vs = samples_per_sec / REF_R1 if REF_R1 else 1.0
     print(
         json.dumps(

@@ -22,6 +22,20 @@ Layer map (SURVEY.md section 1, "TPU-rebuild layer mapping"):
 __version__ = "0.1.0"
 
 
+def respect_platform_env() -> None:
+    """Honor BIASGAN_PLATFORM=cpu|tpu in the CLI drivers. Needed because this
+    environment's sitecustomize force-registers the axon TPU plugin and
+    overrides JAX_PLATFORMS — tests/tools that must run CPU subprocesses
+    (e.g. the kill-and-resume fault test) set BIASGAN_PLATFORM instead."""
+    import os
+
+    plat = os.environ.get("BIASGAN_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_compile_cache(path: str = "") -> None:
     """Opt-in JAX persistent compilation cache (set BIASGAN_CACHE_DIR=<dir>):
     first compile of a full GAN train step is tens of seconds on TPU; with the

@@ -12,6 +12,11 @@ its two signature behaviors:
 
 TPU extensions: compute dtype, mesh shape for data-parallel training and
 spatial sharding for full-globe inference.
+
+Intentional flag mapping: the reference's ``--gpu_ids`` (CUDA device list for
+DataParallel) has no TPU analog; its capability is ``--data_mesh N`` (SPMD
+data parallelism over an N-chip mesh; SURVEY.md section 2.3). ``--num_threads``
+keeps its reference meaning (loader worker threads).
 """
 
 from __future__ import annotations

@@ -62,9 +62,11 @@ def save_state(
         shutil.rmtree(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ckptr.save(path, state)
-    if meta is not None:  # tiny host-side metadata, written immediately
-        with open(path + ".meta.json", "w") as f:
+    if meta is not None:  # tiny host-side metadata; atomic (kill-safe) write
+        tmp = path + ".meta.json.tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, path + ".meta.json")
     if block:
         ckptr.wait_until_finished()
     return path

@@ -12,8 +12,9 @@ from __future__ import annotations
 import os
 import sys
 
-from biasgan_tpu import enable_compile_cache
+from biasgan_tpu import enable_compile_cache, respect_platform_env
 
+respect_platform_env()
 enable_compile_cache()
 from biasgan_tpu.config import format_config, parse_config, save_config
 from biasgan_tpu.data import create_dataset

@@ -19,8 +19,9 @@ import os
 import sys
 import time
 
-from biasgan_tpu import enable_compile_cache
+from biasgan_tpu import enable_compile_cache, respect_platform_env
 
+respect_platform_env()
 enable_compile_cache()
 from biasgan_tpu.config import format_config, parse_config, save_config
 from biasgan_tpu.data import create_dataset

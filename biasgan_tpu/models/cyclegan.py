@@ -126,6 +126,11 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
     gan_mode = cfg.gan_mode
     lam_A, lam_B, lam_idt = cfg.lambda_A, cfg.lambda_B, cfg.lambda_identity
     use_pool = getattr(cfg, "pool_size", 0) > 0
+    # real+fake D passes fuse into ONE 2B-batch pass (better MXU utilization)
+    # when the D has no batch norm — exact for instance/none norms; batch
+    # norm computes per-pass batch statistics, so fusing would change the
+    # reference's training semantics there.
+    fuse_d = cfg.norm != "batch"
 
     def train_step(
         state: GANTrainState, batch: Dict[str, Array], rng: Array
@@ -197,21 +202,26 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
             fake_B_q, fake_A_q = fake_B, fake_A
 
         # ---- D update (reference backward_D_basic, 0.5 weighting) ----
+        def d_pair(D, dv, real, fake):
+            """0.5 * (GAN(D(real), true) + GAN(D(fake), false)); one fused
+            2B pass when the norm allows it."""
+            if fuse_d:
+                pred, dv = apply_net(D, dv, jnp.concatenate([real, fake]), True)
+                pr, pf = jnp.split(pred, 2)
+            else:
+                pr, dv = apply_net(D, dv, real, True)
+                pf, dv = apply_net(D, dv, fake, True)
+            loss = 0.5 * (
+                losses.gan_loss(pr, True, gan_mode)
+                + losses.gan_loss(pf, False, gan_mode)
+            )
+            return loss, dv
+
         def d_loss_fn(d_params):
             dva = {**nets["D_A"], "params": d_params["D_A"]}
             dvb = {**nets["D_B"], "params": d_params["D_B"]}
-            pr_a, dva = apply_net(D_A, dva, real_B, True)
-            pf_a, dva = apply_net(D_A, dva, fake_B_q, True)
-            loss_D_A = 0.5 * (
-                losses.gan_loss(pr_a, True, gan_mode)
-                + losses.gan_loss(pf_a, False, gan_mode)
-            )
-            pr_b, dvb = apply_net(D_B, dvb, real_A, True)
-            pf_b, dvb = apply_net(D_B, dvb, fake_A_q, True)
-            loss_D_B = 0.5 * (
-                losses.gan_loss(pr_b, True, gan_mode)
-                + losses.gan_loss(pf_b, False, gan_mode)
-            )
+            loss_D_A, dva = d_pair(D_A, dva, real_B, fake_B_q)
+            loss_D_B, dvb = d_pair(D_B, dvb, real_A, fake_A_q)
             return loss_D_A + loss_D_B, dict(
                 D_A=loss_D_A, D_B=loss_D_B, dva=dva, dvb=dvb
             )

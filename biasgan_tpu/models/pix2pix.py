@@ -130,12 +130,23 @@ def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool
         real_AB = jnp.concatenate([real_A, real_B], axis=-1)
         fake_AB = jnp.concatenate([real_A, jax.lax.stop_gradient(fake_B)], axis=-1)
 
-        # ---- D update (first, as in the reference) ----
+        # ---- D update (first, as in the reference). The fake and real
+        # passes fuse into ONE 2B-batch pass when D has no batch norm
+        # (exact for instance/none; batch norm computes per-pass batch
+        # statistics, so fusing would change reference semantics). ----
+        fuse_d = cfg.norm != "batch"
+
         def d_loss_fn(d_params):
             dv = {**d_vars, "params": d_params}
-            pred_fake, dv = apply_net(D, dv, fake_AB, True)
+            if fuse_d:
+                pred, dv = apply_net(
+                    D, dv, jnp.concatenate([fake_AB, real_AB]), True
+                )
+                pred_fake, pred_real = jnp.split(pred, 2)
+            else:
+                pred_fake, dv = apply_net(D, dv, fake_AB, True)
+                pred_real, dv = apply_net(D, dv, real_AB, True)
             loss_fake = losses.gan_loss(pred_fake, False, gan_mode)
-            pred_real, dv = apply_net(D, dv, real_AB, True)
             loss_real = losses.gan_loss(pred_real, True, gan_mode)
             loss = 0.5 * (loss_fake + loss_real)
             if gan_mode == "wgangp":

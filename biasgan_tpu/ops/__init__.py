@@ -12,8 +12,12 @@ from biasgan_tpu.ops.metrics import (
     bias,
     validation_metrics,
 )
+from biasgan_tpu.ops.pallas_fused import fused_instance_norm_act
+from biasgan_tpu.ops.pallas_halo import halo_exchange_w
 
 __all__ = [
+    "fused_instance_norm_act",
+    "halo_exchange_w",
     "zonal_power_spectrum",
     "radial_power_spectrum",
     "log_spectral_distance",

@@ -79,6 +79,16 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         _SENTINEL = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -87,20 +97,24 @@ class DataLoader:
                         samples = list(
                             ex.map(self.dataset.__getitem__, batch_indices(b))
                         )
-                        q.put(_collate(samples))
-                q.put(_SENTINEL)
+                        if not put(_collate(samples)):
+                            return  # consumer gone; release workers/handles
+                put(_SENTINEL)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
 
         threading.Thread(target=produce, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            self.epoch += 1
+        finally:
+            stop.set()
 
 
 def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:

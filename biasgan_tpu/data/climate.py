@@ -81,6 +81,12 @@ class _Side:
         self.mean, self.std = stats_mod.stats_arrays(st, self.variables)
         self._index: List[Tuple[int, int]] = []  # (file_idx, time_idx)
         self._handles: Dict[int, object] = {}
+        # the threaded DataLoader (--num_threads) hits _file concurrently;
+        # serialize the check-then-open (h5py reads themselves hold h5py's
+        # global lock, so the handle cache is the only race)
+        import threading
+
+        self._handles_lock = threading.Lock()
         import h5py
 
         for fi, path in enumerate(self.files):
@@ -95,9 +101,25 @@ class _Side:
     def _file(self, fi: int):
         import h5py
 
-        if fi not in self._handles:
-            self._handles[fi] = h5py.File(self.files[fi], "r")
-        return self._handles[fi]
+        with self._handles_lock:
+            if fi not in self._handles:
+                self._handles[fi] = h5py.File(self.files[fi], "r")
+            return self._handles[fi]
+
+    def close(self) -> None:
+        with self._handles_lock:
+            for h in self._handles.values():
+                try:
+                    h.close()
+                except Exception:
+                    pass
+            self._handles.clear()
+
+    def __del__(self):  # best-effort handle cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def grid_shape(self) -> Tuple[int, int]:
         f = self._file(0)

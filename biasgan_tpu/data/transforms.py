@@ -72,8 +72,12 @@ def transform_image(
         img = img.crop((x, y, x + cfg.crop_size, y + cfg.crop_size))
     if pre == "none":
         img = _make_power_2(img, base=4, method=method)
-    if not cfg.no_flip and params is not None and params["flip"]:
-        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if not cfg.no_flip:
+        # aligned pairs share params; unaligned/single draw a fresh coin per
+        # image (reference adds RandomHorizontalFlip in the params=None case)
+        flip = params["flip"] if params is not None else bool(np.random.rand() > 0.5)
+        if flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
     arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
     if arr.ndim == 2:
         arr = arr[:, :, None]

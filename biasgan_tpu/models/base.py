@@ -126,8 +126,13 @@ class BaseModel:
         self._host_step += 1
 
     def test(self):
-        """No-grad forward (reference model.test()); respects eval()."""
-        rng = jax.random.fold_in(self._rng, self._host_step)
+        """No-grad forward (reference model.test()); respects eval(). Each
+        call draws fresh rng (its own counter, off the training stream) so
+        test-time dropout varies per forward like the reference's."""
+        self._eval_calls = getattr(self, "_eval_calls", 0) + 1
+        rng = jax.random.fold_in(
+            jax.random.fold_in(self._rng, 0x7E57), self._eval_calls
+        )
         self._visuals = self._eval_fn(
             self.state, self._batch, rng, train=not self._is_eval
         )

@@ -40,6 +40,7 @@ from biasgan_tpu.models.common import (
     make_lr_schedule,
     pmean_if,
     prepare_batch,
+    resolve_direction,
 )
 from biasgan_tpu.nn import define_D, define_G, init_params
 from biasgan_tpu.registry import register_model
@@ -135,11 +136,17 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
     def train_step(
         state: GANTrainState, batch: Dict[str, Array], rng: Array
     ) -> Tuple[GANTrainState, Dict[str, Array], Dict[str, Array]]:
+        # pool rngs come from the PRE-shard-fold rng: under data parallelism
+        # the pools are REPLICATED state (out_specs P()), so every shard must
+        # apply the identical pool update (see the D-step pool block below).
+        rng_pool_a, rng_pool_b, rng_local = jax.random.split(rng, 3)
         if axis_name is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        rng_drop, rng_pool_a, rng_pool_b, rng_aug = jax.random.split(rng, 4)
+            rng_local = jax.random.fold_in(
+                rng_local, jax.lax.axis_index(axis_name)
+            )
+        rng_drop, rng_aug = jax.random.split(rng_local)
         batch = prepare_batch(batch, rng_aug, cfg, train=True)
-        real_A, real_B = batch["A"], batch["B"]
+        real_A, real_B = resolve_direction(batch, cfg.direction)
         nets = state.nets
         drop = {"dropout": rng_drop}
         lr = lr_fn(state.step, state.lr_scale)
@@ -190,14 +197,29 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
         fake_A = jax.lax.stop_gradient(gaux["fake_A"])
 
         # ---- replay pools (in-graph; reference ImagePool.query) ----
+        # Under data parallelism the pool is REPLICATED (out_specs P()), so
+        # it must see the identical update on every shard: all_gather the
+        # full global batch of fakes, query with the shared (pre-fold) pool
+        # rng, and slice back this shard's portion — exactly the reference's
+        # single pool fed by the whole batch.
         pools = dict(state.pools)
         if use_pool:
-            pools["fake_B"], fake_B_q = pool_query(
-                pools["fake_B"], fake_B, rng_pool_b
-            )
-            pools["fake_A"], fake_A_q = pool_query(
-                pools["fake_A"], fake_A, rng_pool_a
-            )
+
+            def query(pool, fake, prng):
+                if axis_name is None:
+                    return pool_query(pool, fake, prng)
+                b_local = fake.shape[0]
+                fake_g = jax.lax.all_gather(fake, axis_name)  # (n, B_l, ...)
+                fake_g = fake_g.reshape((-1,) + fake.shape[1:])
+                pool, out_g = pool_query(pool, fake_g, prng)
+                me = jax.lax.axis_index(axis_name)
+                out = jax.lax.dynamic_slice_in_dim(
+                    out_g, me * b_local, b_local, axis=0
+                )
+                return pool, out
+
+            pools["fake_B"], fake_B_q = query(pools["fake_B"], fake_B, rng_pool_b)
+            pools["fake_A"], fake_A_q = query(pools["fake_A"], fake_A, rng_pool_a)
         else:
             fake_B_q, fake_A_q = fake_B, fake_A
 
@@ -281,7 +303,7 @@ def make_eval_fn(cfg):
             )
             return y[0] if isinstance(y, tuple) else y
 
-        real_A, real_B = batch["A"], batch["B"]
+        real_A, real_B = resolve_direction(batch, cfg.direction)
         fake_B = fwd(G_A, state.nets["G_A"], real_A)
         rec_A = fwd(G_B, state.nets["G_B"], fake_B)
         fake_A = fwd(G_B, state.nets["G_B"], real_B)

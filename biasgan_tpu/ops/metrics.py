@@ -13,20 +13,41 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+_HIST_CHUNK = 1 << 20  # pixels per accumulation chunk (bounds live memory)
+
+
 def histogram_pdf(
     x: Array, lo: float = -1.0, hi: float = 1.0, n_bins: int = 64
 ) -> Array:
     """Normalized per-channel histogram over fixed bins. x: (..., C) ->
-    (n_bins, C). One-hot matmul instead of scatter (TPU-friendly)."""
+    (n_bins, C). Compare-and-reduce instead of scatter (TPU-friendly); for
+    large fields the pixels are scanned in fixed-size chunks so the
+    (chunk, C, n_bins) comparison mask stays bounded (a full-globe batch
+    would otherwise materialize gigabytes of one-hot)."""
     xf = x.astype(jnp.float32)
     c = x.shape[-1]
     flat = xf.reshape(-1, c)
-    idx = jnp.clip(
-        ((flat - lo) / (hi - lo) * n_bins).astype(jnp.int32), 0, n_bins - 1
-    )
-    one_hot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)  # (M, C, B)
-    counts = jnp.sum(one_hot, axis=0).T  # (B, C)
-    return counts / flat.shape[0]
+    m = flat.shape[0]
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+
+    def counts_of(chunk):  # (k, C) -> (B, C)
+        idx = jnp.clip(
+            ((chunk - lo) / (hi - lo) * n_bins).astype(jnp.int32), 0, n_bins - 1
+        )
+        eq = (idx[:, :, None] == bins[None, None, :]).astype(jnp.float32)
+        return jnp.sum(eq, axis=0).T
+
+    if m <= _HIST_CHUNK:
+        counts = counts_of(flat)
+    else:
+        k = _HIST_CHUNK
+        n_chunks = m // k
+        body = lambda acc, chunk: (acc + counts_of(chunk), None)
+        main = flat[: n_chunks * k].reshape(n_chunks, k, c)
+        counts, _ = jax.lax.scan(body, jnp.zeros((n_bins, c), jnp.float32), main)
+        if m % k:
+            counts = counts + counts_of(flat[n_chunks * k :])
+    return counts / m
 
 
 def pdf_distance(

@@ -81,6 +81,11 @@ class HaloCtx:
             )
             parts = ([lh] if left > 0 else []) + [x] + ([rh] if right > 0 else [])
             return jnp.concatenate(parts, axis=2)
+        if max(left, right) > x.shape[2]:
+            raise ValueError(
+                f"halo ({left},{right}) wider than local shard width "
+                f"{x.shape[2]}; use fewer shards or a wider field"
+            )
         parts = []
         if left > 0:
             send = x[:, :, -left:, :]

@@ -57,8 +57,11 @@ def save_state(
     (async unless ``block``)."""
     path = _ckpt_path(run_dir, tag)
     ckptr = _checkpointer()
+    # wait BEFORE the exists() check: an in-flight async save of this same
+    # tag may not have committed (renamed) its directory yet — checking
+    # first would skip the rmtree and orbax would raise 'already exists'
+    ckptr.wait_until_finished()
     if os.path.exists(path):  # 'latest' is overwritten every save_latest_freq
-        ckptr.wait_until_finished()  # never rmtree under an in-flight save
         shutil.rmtree(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ckptr.save(path, state)

@@ -46,14 +46,11 @@ def save_field(field: np.ndarray, path: str, channel: int = 0):
 
 
 def diagnose_network(params, name: str = "network") -> float:
-    """Mean absolute parameter value (reference diagnose_network)."""
-    import jax
+    """Element-weighted mean |param| — single implementation lives in
+    utils/diagnostics.py; re-exported here for reference-layout callers."""
+    from biasgan_tpu.utils.diagnostics import diagnose_network as _dn
 
-    leaves = jax.tree_util.tree_leaves(params)
-    total = sum(float(np.abs(np.asarray(x)).mean()) for x in leaves)
-    mean = total / max(len(leaves), 1)
-    print(f"{name}: mean |param| = {mean}")
-    return mean
+    return _dn(params, name)
 
 
 def mkdirs(paths):

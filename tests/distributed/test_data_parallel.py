@@ -114,3 +114,52 @@ def test_dp_cyclegan_with_pool():
     state = cg_state(cfg, jax.random.PRNGKey(0))
     state, losses, _ = dp(state, shard_batch(_batch(16, 32), mesh), jax.random.PRNGKey(1))
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_cyclegan_pools_replicated_and_match_single_device():
+    """Replay pools are REPLICATED state under shard_map (out_specs P());
+    the all-gathered pool update must leave every device with the identical
+    buffer, equal to the single-device run on the same global batch."""
+    import jax.numpy as jnp
+    from biasgan_tpu.config import TrainConfig, merge_config_cls
+    from biasgan_tpu.models import cyclegan as cg
+    from biasgan_tpu.parallel import data_parallel_step, make_mesh, shard_batch
+
+    cls = merge_config_cls(TrainConfig, cg.CycleGANConfig)
+
+    def cfg():
+        return cls(
+            model="cycle_gan", netG="resnet_2blocks", netD="pixel",
+            norm="instance", no_dropout=True, gan_mode="lsgan", pool_size=6,
+            crop_size=16, input_nc=1, output_nc=1, batch_size=4, ngf=8,
+            ndf=8, steps_per_epoch=4, checkpoints_dir="/tmp/bgt_poolrep",
+            name="p",
+        )
+
+    rng = jax.random.PRNGKey(0)
+    a = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    batch = {"A": a, "B": jnp.tanh(a)}
+    step_rng = jax.random.PRNGKey(2)
+
+    # single device
+    state1 = cg.create_state(cfg(), rng)
+    step1 = jax.jit(cg.make_train_step(cfg()))
+    state1, _, _ = step1(state1, batch, step_rng)
+
+    # 2-way data parallel on the same global batch
+    mesh = make_mesh(data=2)
+    state2 = cg.create_state(cfg(), rng)
+    step2 = jax.jit(
+        data_parallel_step(cg.make_train_step(cfg(), axis_name="data"), mesh)
+    )
+    state2, _, _ = step2(state2, shard_batch(batch, mesh), step_rng)
+
+    buf = state2.pools["fake_B"].buffer
+    shards = [np.asarray(s.data) for s in buf.addressable_shards]
+    assert len(shards) == 2
+    np.testing.assert_array_equal(shards[0], shards[1])  # truly replicated
+    np.testing.assert_allclose(
+        shards[0], np.asarray(state1.pools["fake_B"].buffer),
+        rtol=2e-5, atol=1e-6,
+    )
+    assert int(state2.pools["fake_B"].count) == int(state1.pools["fake_B"].count)

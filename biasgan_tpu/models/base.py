@@ -185,6 +185,13 @@ class BaseModel:
             return 0.0
         return float(self._lr_fn(self.state.step, self.state.lr_scale))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Sync the checkpoint-metadata epoch to the driver loop's epoch
+        (the loop owns epoch numbering, as in the reference; the internal
+        counter alone can lag when resuming from a crash-fallback
+        checkpoint)."""
+        self._epoch = epoch
+
     def update_learning_rate(self, metric: Optional[float] = None):
         """Epoch-end hook. linear/step/cosine run in-graph from the step
         counter; 'plateau' mirrors torch ReduceLROnPlateau(factor=0.2,

@@ -59,10 +59,20 @@ def save_state(
     ckptr = _checkpointer()
     # wait BEFORE the exists() check: an in-flight async save of this same
     # tag may not have committed (renamed) its directory yet — checking
-    # first would skip the rmtree and orbax would raise 'already exists'
+    # first would skip the overwrite handling and orbax would raise
+    # 'already exists'
     ckptr.wait_until_finished()
-    if os.path.exists(path):  # 'latest' is overwritten every save_latest_freq
-        shutil.rmtree(path)
+    if os.path.exists(path):
+        # crash-safe overwrite ('latest' every save_latest_freq): rename the
+        # committed checkpoint aside instead of deleting it, so a kill that
+        # lands before the new save commits still leaves a restorable
+        # '<tag>.old' (restore_state/has_checkpoint fall back to it)
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        if os.path.exists(path + ".meta.json"):  # keep meta paired with data
+            os.replace(path + ".meta.json", old + ".meta.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ckptr.save(path, state)
     if meta is not None:  # tiny host-side metadata; atomic (kill-safe) write
@@ -75,11 +85,22 @@ def save_state(
     return path
 
 
+def _resolve(run_dir: str, tag: str) -> str:
+    """Committed checkpoint dir for a tag; falls back to '<tag>.old' when a
+    crash interrupted an overwrite (see save_state)."""
+    path = _ckpt_path(run_dir, tag)
+    if os.path.isdir(path):
+        return path
+    if os.path.isdir(path + ".old"):
+        return path + ".old"
+    return path
+
+
 def restore_state(run_dir: str, tag: str, abstract_state):
     """Restore into the structure of ``abstract_state`` (a concrete state of
     the right shape works; use jax.eval_shape output to avoid allocation)."""
     wait_for_saves()  # the tag may still be in flight from this process
-    path = _ckpt_path(run_dir, tag)
+    path = _resolve(run_dir, tag)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no checkpoint at {path}")
     return _checkpointer().restore(path, abstract_state)
@@ -90,14 +111,14 @@ def restore_raw(run_dir: str, tag: str):
     for cross-model loading, e.g. TestModel extracting G_A from a CycleGAN
     checkpoint (reference --model_suffix semantics)."""
     wait_for_saves()
-    path = _ckpt_path(run_dir, tag)
+    path = _resolve(run_dir, tag)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no checkpoint at {path}")
     return _checkpointer().restore(path)
 
 
 def load_meta(run_dir: str, tag: str) -> Dict[str, Any]:
-    path = _ckpt_path(run_dir, tag)
+    path = _resolve(run_dir, tag)  # meta rides with the resolved data dir
     for candidate in (path + ".meta.json", os.path.join(path, "meta.json")):
         if os.path.exists(candidate):
             with open(candidate) as f:
@@ -107,7 +128,7 @@ def load_meta(run_dir: str, tag: str) -> Dict[str, Any]:
 
 def has_checkpoint(run_dir: str, tag: str) -> bool:
     wait_for_saves()
-    return os.path.isdir(_ckpt_path(run_dir, tag))
+    return os.path.isdir(_resolve(run_dir, tag))
 
 
 def abstract_like(state):

@@ -61,11 +61,17 @@ def _run(tmp, extra, timeout=420, kill_after=None):
 def test_kill_and_resume(tmp_path):
     # phase 1: a long run (it will never finish) killed shortly after the
     # epoch-1 checkpoint lands
+    from biasgan_tpu.utils import checkpoint as ckpt
+
     _run(tmp_path, ["--n_epochs", "500", "--n_epochs_decay", "0"],
          kill_after=0.5)
-    meta = tmp_path / "faulty" / "ckpt" / "latest.meta.json"
-    assert meta.exists()
-    killed_at = json.loads(meta.read_text())["epoch"]
+    run_dir = str(tmp_path / "faulty")
+    # the kill may land anywhere in the overwrite sequence; the library's
+    # crash-fallback resolution ('latest' -> 'latest.old') must always find
+    # a committed checkpoint + its paired meta
+    assert ckpt.has_checkpoint(run_dir, "latest")
+    killed_meta = ckpt.load_meta(run_dir, "latest")
+    killed_at = killed_meta.get("epoch", 1)
     assert killed_at >= 1
 
     # phase 2: resume from 'latest' and run to a nearby finish line
@@ -77,6 +83,6 @@ def test_kill_and_resume(tmp_path):
     )
     assert rc == 0, out[-2000:]
     assert f"End of epoch {horizon} / {horizon}" in out
-    resumed = json.loads(meta.read_text())
-    assert resumed["epoch"] > killed_at
+    resumed = ckpt.load_meta(run_dir, "latest")
+    assert resumed["epoch"] > killed_at, (resumed, killed_at)
     assert (tmp_path / "faulty" / "ckpt" / f"epoch_{horizon}").is_dir()

@@ -65,6 +65,7 @@ def main(argv=None):
         # drop ragged tail: static shapes only under jit
 
     for epoch in range(cfg.epoch_count, cfg.n_epochs + cfg.n_epochs_decay + 1):
+        model.set_epoch(epoch)
         epoch_start = time.time()
         t_data_mark = time.time()
         for data in batch_stream(dataset):

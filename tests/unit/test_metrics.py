@@ -64,3 +64,19 @@ def test_metrics_jit_compatible():
     out = f(x, x * 1.01)
     assert set(out) == {"rmse", "bias", "pdf_tv", "log_spectral_distance"}
     assert all(np.isfinite(float(v)) for v in out.values())
+
+
+def test_histogram_chunked_equals_direct(monkeypatch):
+    """The scan-chunked accumulation path (used for full-globe fields, where
+    a one-shot comparison mask would be GBs) must equal the direct path,
+    including a ragged tail chunk."""
+    import jax
+    from biasgan_tpu.ops import metrics as M
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 37, 29, 2), minval=-1.2, maxval=1.2)
+    direct = np.asarray(M.histogram_pdf(x))
+    monkeypatch.setattr(M, "_HIST_CHUNK", 256)  # 37*29=1073 px -> 4 chunks + tail
+    chunked = np.asarray(jax.jit(M.histogram_pdf)(x))
+    np.testing.assert_allclose(chunked, direct, rtol=1e-6, atol=1e-7)
+    assert chunked.shape == (64, 2)
+    np.testing.assert_allclose(chunked.sum(axis=0), 1.0, rtol=1e-6)

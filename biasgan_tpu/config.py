@@ -70,6 +70,9 @@ class BaseConfig:
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-friendly compute
     data_mesh: int = 1  # data-parallel mesh size (1 = single device)
     spatial_mesh: int = 1  # width-axis sharding for full-globe inference
+    # halo transport for spatial sharding: lax.ppermute (default) or the
+    # Pallas inter-chip RDMA ring (ops/pallas_halo.py; inference-only)
+    halo_rdma: bool = False
     # periodic-longitude padding for global fields ('' = architecture default)
     w_pad_mode: str = ""
     # in-graph augmentation (climate/synthetic data; image datasets flip on host)

@@ -76,7 +76,9 @@ def main(argv=None):
 
     g_vars = jax.device_put(g_vars, NamedSharding(mesh, PartitionSpec()))
 
-    fwd = spatial_apply(g_module, mesh, train=False, periodic=periodic)
+    fwd = spatial_apply(
+        g_module, mesh, train=False, periodic=periodic, rdma=cfg.halo_rdma
+    )
 
     h_multiple = 2 ** generator_downs(cfg.netG)
 

@@ -86,3 +86,21 @@ def test_output_is_in_physical_units(store):
     y = _run(store, 1, "units")
     t2m_mean = float(y[..., 1].mean())  # variables sorted: precip, t2m
     assert 200.0 < t2m_mean < 360.0, t2m_mean
+
+
+def test_full_globe_inference_rdma_halo(store):
+    """infer.py --halo_rdma: the Pallas RDMA ring transport produces the same
+    corrected field as the ppermute transport (CPU interpreter mesh)."""
+    y_pp = _run(store, 2, "m2b")
+    out_dir = infer.main(
+        _common_args(store)
+        + [
+            "--full_field", "--num_test", "1",
+            "--spatial_mesh", "2", "--halo_rdma",
+            "--results_dir", str(store / "results_rdma"),
+        ]
+    )
+    import numpy as _np
+
+    y_rdma = _np.load(os.path.join(out_dir, "corrected_00000.npy"))
+    _np.testing.assert_allclose(y_rdma, y_pp, rtol=2e-5, atol=2e-5)

@@ -26,7 +26,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field, fields
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 
 @dataclass

@@ -16,11 +16,9 @@ between logging points.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from biasgan_tpu.models.common import GANTrainState, make_lr_schedule

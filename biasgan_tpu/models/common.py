@@ -16,7 +16,6 @@ the step, so the reference's epoch-wise LR policies (linear/step/cosine) run
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -21,7 +21,6 @@ data-parallel mesh axis (SURVEY.md section 2.3).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

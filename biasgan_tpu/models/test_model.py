@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 
 from biasgan_tpu.models import base

@@ -12,10 +12,9 @@ business (jit / shard_map over a Mesh — parallel/), so the factories return a
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 from flax.core import FrozenDict
 

@@ -20,7 +20,6 @@ written TPU-first:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional, Protocol, Sequence, Tuple
 
 import jax

@@ -14,7 +14,7 @@ filesystem magic.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Type
+from typing import Callable, Dict, Optional
 
 _MODELS: Dict[str, type] = {}
 _MODEL_CONFIGS: Dict[str, type] = {}

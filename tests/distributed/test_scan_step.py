@@ -80,3 +80,34 @@ def test_scan_composes_with_data_parallel():
     for v in losses_k.values():
         assert v.shape == (K,) and np.isfinite(np.asarray(v)).all()
     assert visuals["fake_B"].shape == (4, 32, 32, 1)
+
+
+def test_scan_carries_cyclegan_pools():
+    """The replay pools (stateful pytree in GANTrainState) must thread
+    through the lax.scan device loop: after k scanned steps the pool has
+    absorbed k batches of fakes, same as k host dispatches."""
+    from biasgan_tpu.models import cyclegan as cg
+
+    ccls = merge_config_cls(TrainConfig, cg.CycleGANConfig)
+    cfg = ccls(
+        model="cycle_gan", netG="resnet_2blocks", netD="pixel",
+        norm="instance", no_dropout=True, gan_mode="lsgan", pool_size=16,
+        crop_size=16, input_nc=1, output_nc=1, batch_size=2, ngf=8, ndf=8,
+        steps_per_epoch=4, checkpoints_dir="/tmp/bgt_scanpool", name="sp",
+    )
+    state = cg.create_state(cfg, jax.random.PRNGKey(0))
+    step = cg.make_train_step(cfg)
+    scan = jax.jit(make_scan_step(step, K))
+    batches16 = []
+    for i in range(K):
+        a = jax.random.normal(jax.random.PRNGKey(20 + i), (2, 16, 16, 1))
+        batches16.append({"A": np.asarray(a), "B": np.asarray(jnp.tanh(a))})
+    stacked = stack_batches(batches16)
+    st, losses_k, _ = scan(state, {k: jnp.asarray(v) for k, v in stacked.items()},
+                           jax.random.PRNGKey(3))
+    assert int(st.step) == K
+    # pool not yet full: every scanned step stored its whole batch
+    assert int(st.pools["fake_B"].count) == K * 2
+    assert int(st.pools["fake_A"].count) == K * 2
+    for v in losses_k.values():
+        assert v.shape == (K,) and np.isfinite(np.asarray(v)).all()

@@ -56,6 +56,10 @@ class DataLoader:
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        # datasets derive per-sample RNG from (seed, epoch, index)
+        # (transforms.sample_rng) — reproducible under --seed, varying per
+        # epoch, independent of worker-thread scheduling
+        self.dataset.epoch = self.epoch
         order = np.arange(self.num_samples)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)

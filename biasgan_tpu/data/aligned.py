@@ -6,10 +6,8 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-import numpy as np
-
 from biasgan_tpu.data.image_folder import make_dataset
-from biasgan_tpu.data.transforms import get_params, transform_image
+from biasgan_tpu.data.transforms import get_params, sample_rng, transform_image
 from biasgan_tpu.registry import register_dataset
 
 
@@ -36,7 +34,7 @@ class AlignedDataset:
         w2 = w // 2
         A = AB.crop((0, 0, w2, h))
         B = AB.crop((w2, 0, w, h))
-        rng = np.random.default_rng()
+        rng = sample_rng(self.seed, getattr(self, "epoch", 0), index)
         params = get_params(self.cfg, A.size, rng)
         a = transform_image(A, self.cfg, params, grayscale=self.input_nc == 1)
         b = transform_image(B, self.cfg, params, grayscale=self.output_nc == 1)

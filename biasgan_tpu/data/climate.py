@@ -32,7 +32,9 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from biasgan_tpu.data import ncio
 from biasgan_tpu.data import stats as stats_mod
+from biasgan_tpu.data import transforms
 from biasgan_tpu.registry import register_dataset
 
 
@@ -45,15 +47,7 @@ class ClimateConfig:
 
 
 def _discover_variables(path: str) -> List[str]:
-    import h5py
-
-    out = []
-    with h5py.File(path, "r") as f:
-        def visit(name, obj):
-            if isinstance(obj, h5py.Dataset) and obj.ndim in (2, 3):
-                out.append(name)
-        f.visititems(visit)
-    return sorted(out)
+    return ncio.discover_variables(path)
 
 
 class _Side:
@@ -87,23 +81,23 @@ class _Side:
         import threading
 
         self._handles_lock = threading.Lock()
-        import h5py
 
         for fi, path in enumerate(self.files):
-            with h5py.File(path, "r") as f:
+            f = ncio.open_field_file(path)
+            try:
                 ds = f[self.variables[0]]
                 t = ds.shape[0] if ds.ndim == 3 else 1
+            finally:
+                f.close()
             self._index.extend((fi, ti) for ti in range(t))
 
     def __len__(self) -> int:
         return len(self._index)
 
     def _file(self, fi: int):
-        import h5py
-
         with self._handles_lock:
             if fi not in self._handles:
-                self._handles[fi] = h5py.File(self.files[fi], "r")
+                self._handles[fi] = ncio.open_field_file(self.files[fi])
             return self._handles[fi]
 
     def close(self) -> None:
@@ -183,7 +177,10 @@ class ClimateDataset:
 
     def __getitem__(self, index: int) -> Dict:
         cfg = self.cfg
-        rng = np.random.default_rng()
+        # deterministic per (--seed, epoch, index): reproducible crops and
+        # B-pairings regardless of loader-thread scheduling (the loader
+        # advances self.epoch so crops still vary across epochs)
+        rng = transforms.sample_rng(cfg.seed, getattr(self, "epoch", 0), index)
         if cfg.paired_time:
             ia = ib = index
         else:

@@ -6,7 +6,7 @@ from __future__ import annotations
 from typing import Dict
 
 from biasgan_tpu.data.image_folder import make_dataset
-from biasgan_tpu.data.transforms import transform_image
+from biasgan_tpu.data.transforms import sample_rng, transform_image
 from biasgan_tpu.registry import register_dataset
 
 
@@ -24,7 +24,9 @@ class SingleDataset:
         from PIL import Image
 
         path = self.A_paths[index]
+        rng = sample_rng(self.cfg.seed, getattr(self, "epoch", 0), index)
         a = transform_image(
-            Image.open(path), self.cfg, None, grayscale=self.input_nc == 1
+            Image.open(path), self.cfg, None, grayscale=self.input_nc == 1,
+            rng=rng,
         )
         return {"A": a, "A_paths": path}

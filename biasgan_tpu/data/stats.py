@@ -15,20 +15,38 @@ from typing import Dict, Sequence
 import numpy as np
 
 
+# cap per-read slab size so multi-year (T, H, W) archives never materialize
+# whole on the host (tens of GB); ~256 MB of float64 per slab
+_SLAB_BYTES = 256 * 1024 * 1024
+
+
+def _iter_slabs(ds):
+    """Yield float64 chunks of a 2-D/3-D dataset, slabbed along axis 0."""
+    if ds.ndim < 3:
+        yield np.asarray(ds[...], dtype=np.float64)
+        return
+    frame_bytes = int(np.prod(ds.shape[1:])) * 8
+    step = max(1, _SLAB_BYTES // max(frame_bytes, 1))
+    for i in range(0, ds.shape[0], step):
+        yield np.asarray(ds[i : i + step], dtype=np.float64)
+
+
 def compute_stats(
     files: Sequence[str], variables: Sequence[str]
 ) -> Dict[str, Dict[str, float]]:
-    import h5py
+    from biasgan_tpu.data import ncio
 
     acc = {v: [0.0, 0.0, 0] for v in variables}  # sum, sumsq, count
     for path in files:
-        with h5py.File(path, "r") as f:
+        f = ncio.open_field_file(path)
+        try:
             for v in variables:
-                ds = f[v]
-                arr = np.asarray(ds, dtype=np.float64)
-                acc[v][0] += float(arr.sum())
-                acc[v][1] += float(np.square(arr).sum())
-                acc[v][2] += int(arr.size)
+                for arr in _iter_slabs(f[v]):
+                    acc[v][0] += float(arr.sum())
+                    acc[v][1] += float(np.square(arr).sum())
+                    acc[v][2] += int(arr.size)
+        finally:
+            f.close()
     out = {}
     for v, (s, s2, n) in acc.items():
         mean = s / max(n, 1)

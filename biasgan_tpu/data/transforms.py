@@ -26,12 +26,23 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
+def sample_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
+    """Deterministic per-sample generator. Derived from (--seed, epoch,
+    sample index) so results are reproducible under --seed and independent of
+    worker-thread scheduling, while still varying across epochs (fresh crops/
+    flips each pass — reference DataLoader-worker behavior, but seeded)."""
+    return np.random.default_rng((int(seed), int(epoch), int(index)))
+
+
 def get_params(cfg, size: Tuple[int, int], rng: np.random.Generator) -> Dict:
     """Shared random transform params for an aligned pair (reference
-    get_params)."""
+    get_params). Crop positions range over the post-resize size: the actual
+    image size unless a resize precedes the crop."""
     w, h = size
-    new_w = new_h = cfg.load_size
-    if cfg.preprocess == "scale_width_and_crop":
+    new_w, new_h = w, h
+    if cfg.preprocess == "resize_and_crop":
+        new_w = new_h = cfg.load_size
+    elif cfg.preprocess == "scale_width_and_crop":
         new_w, new_h = cfg.load_size, int(cfg.load_size * h / w)
     x = int(rng.integers(0, max(0, new_w - cfg.crop_size) + 1))
     y = int(rng.integers(0, max(0, new_h - cfg.crop_size) + 1))
@@ -45,6 +56,7 @@ def transform_image(
     params: Optional[Dict] = None,
     grayscale: bool = False,
     method=None,
+    rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
     """PIL image -> float32 NHW C in [-1, 1], reference preprocess modes:
     resize_and_crop | crop | scale_width | scale_width_and_crop | none."""
@@ -65,8 +77,9 @@ def transform_image(
     if "crop" in pre:
         if params is None:
             w, h = img.size
-            x = int(np.random.randint(0, max(0, w - cfg.crop_size) + 1))
-            y = int(np.random.randint(0, max(0, h - cfg.crop_size) + 1))
+            r = rng if rng is not None else np.random.default_rng()
+            x = int(r.integers(0, max(0, w - cfg.crop_size) + 1))
+            y = int(r.integers(0, max(0, h - cfg.crop_size) + 1))
         else:
             x, y = params["crop_pos"]
         img = img.crop((x, y, x + cfg.crop_size, y + cfg.crop_size))
@@ -75,7 +88,11 @@ def transform_image(
     if not cfg.no_flip:
         # aligned pairs share params; unaligned/single draw a fresh coin per
         # image (reference adds RandomHorizontalFlip in the params=None case)
-        flip = params["flip"] if params is not None else bool(np.random.rand() > 0.5)
+        if params is not None:
+            flip = params["flip"]
+        else:
+            r = rng if rng is not None else np.random.default_rng()
+            flip = bool(r.random() > 0.5)
         if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
     arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0

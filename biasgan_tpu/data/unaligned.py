@@ -7,10 +7,8 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-import numpy as np
-
 from biasgan_tpu.data.image_folder import make_dataset
-from biasgan_tpu.data.transforms import transform_image
+from biasgan_tpu.data.transforms import sample_rng, transform_image
 from biasgan_tpu.registry import register_dataset
 
 
@@ -32,16 +30,19 @@ class UnalignedDataset:
     def __getitem__(self, index: int) -> Dict:
         from PIL import Image
 
+        rng = sample_rng(self.cfg.seed, getattr(self, "epoch", 0), index)
         a_path = self.A_paths[index % len(self.A_paths)]
         if self.cfg.serial_batches:
             b_index = index % len(self.B_paths)
         else:
-            b_index = int(np.random.randint(0, len(self.B_paths)))
+            b_index = int(rng.integers(0, len(self.B_paths)))
         b_path = self.B_paths[b_index]
         a = transform_image(
-            Image.open(a_path), self.cfg, None, grayscale=self.input_nc == 1
+            Image.open(a_path), self.cfg, None, grayscale=self.input_nc == 1,
+            rng=rng,
         )
         b = transform_image(
-            Image.open(b_path), self.cfg, None, grayscale=self.output_nc == 1
+            Image.open(b_path), self.cfg, None, grayscale=self.output_nc == 1,
+            rng=rng,
         )
         return {"A": a, "B": b, "A_paths": a_path, "B_paths": b_path}

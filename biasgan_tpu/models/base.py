@@ -72,9 +72,10 @@ class BaseModel:
                 step = data_parallel_step(
                     step, self.mesh, batch_axis=1 if self.steps_per_call > 1 else 0
                 )
-                self._train_step = jax.jit(step)
-            else:
-                self._train_step = jax.jit(step, donate_argnums=0)
+            # donate the state on every path (single-device, scan, DP mesh):
+            # params + both optimizer states would otherwise double-buffer in
+            # HBM each step — pure waste for a bandwidth-bound workload
+            self._train_step = jax.jit(step, donate_argnums=0)
         self._eval_fn = jax.jit(self._make_eval_fn(), static_argnames=("train",))
         self._lr_fn = make_lr_schedule(cfg) if self.is_train else None
 

@@ -9,8 +9,13 @@ Reference semantics per incoming image (sequential over the batch):
 The naive port would be a stateful host-side buffer — a device round-trip per
 step. Here the buffer and fill count live inside the GANTrainState and the
 query is a lax.scan of gathers/scatters, so it stays inside the single jitted
-train step and shards cleanly under shard_map (each data-parallel shard keeps
-its own pool, mirroring per-replica decorrelation).
+train step. Under data parallelism the pool is REPLICATED state: the CycleGAN
+DP step all_gathers the global fake batch and queries ONE pool with a shared
+rng, so every shard holds an identical buffer and the result matches the
+single-device run exactly (models/cyclegan.py query; invariant enforced by
+tests/distributed/test_data_parallel.py::
+test_cyclegan_pools_replicated_and_match_single_device). Do NOT "fix" this
+into per-shard pools — shard_map out_specs P() requires the replication.
 """
 
 from __future__ import annotations

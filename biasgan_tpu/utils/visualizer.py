@@ -27,6 +27,7 @@ class Visualizer:
             f.write(f"================ Training Loss ({time.strftime('%c')}) ================\n")
         self.web_dir = os.path.join(self.run_dir, "web")
         os.makedirs(os.path.join(self.web_dir, "images"), exist_ok=True)
+        self._page_rows = None  # epoch -> rendered row html (lazy disk seed)
         self._tb = None
         try:
             from tensorboardX import SummaryWriter
@@ -58,15 +59,38 @@ class Visualizer:
             )
             if self._tb is not None:
                 self._tb.add_image(f"visual/{label}", img, epoch, dataformats="HWC")
+        # incremental page build: per-epoch rows are rendered once and cached
+        # (one disk scan on resume), so each call costs O(1) row work instead
+        # of re-scanning and re-rendering every prior epoch
+        if self._page_rows is None:
+            self._page_rows = self._scan_existing_rows(list(visuals))
+        self._page_rows[epoch] = self._render_row(epoch, list(visuals))
         page = html_mod.HTML(self.web_dir, f"Experiment = {self.cfg.name}")
-        for e in range(epoch, 0, -1):
-            first = f"epoch{e:03d}_{list(visuals)[0]}.png"
-            if not os.path.exists(os.path.join(self.web_dir, "images", first)):
-                continue
-            page.add_header(f"epoch [{e}]")
-            ims = [f"epoch{e:03d}_{lab}.png" for lab in visuals]
-            page.add_images(ims, list(visuals), ims)
+        for e in sorted(self._page_rows, reverse=True):
+            page.rows.append(self._page_rows[e])
         page.save()
+
+    def _render_row(self, epoch: int, labels) -> str:
+        page = html_mod.HTML(self.web_dir, "")
+        page.add_header(f"epoch [{epoch}]")
+        ims = [f"epoch{epoch:03d}_{lab}.png" for lab in labels]
+        page.add_images(ims, labels, ims)
+        return "\n".join(page.rows)
+
+    def _scan_existing_rows(self, labels) -> Dict[int, str]:
+        """One-time seed of the row cache from images already on disk
+        (--continue_train resumes keep their history)."""
+        rows: Dict[int, str] = {}
+        img_dir = os.path.join(self.web_dir, "images")
+        first = labels[0] if labels else None
+        for fname in os.listdir(img_dir):
+            if first and fname.startswith("epoch") and fname.endswith(f"_{first}.png"):
+                try:
+                    e = int(fname[5:8])
+                except ValueError:
+                    continue
+                rows[e] = self._render_row(e, labels)
+        return rows
 
     def plot_current_metrics(self, step: int, metrics: Dict[str, float], prefix="val"):
         if self._tb is not None:

@@ -69,7 +69,14 @@ def main(argv=None):
         from biasgan_tpu.models.pix2pix import build_nets
 
         g_module, _ = build_nets(cfg)
-    g_vars = model.state.nets.get("G", model.state.nets.get("G_A"))
+    # honor --direction: pix2pix has one G trained for the configured
+    # direction; CycleGAN checkpoints hold G_A (A->B) and G_B (B->A)
+    btoa = cfg.direction == "BtoA"
+    nets = model.state.nets
+    g_key = "G" if "G" in nets else ("G_B" if btoa else "G_A")
+    g_vars = nets[g_key]
+    # source/target field + stats pairing follows the direction too
+    src, tgt = ("B", "A") if btoa else ("A", "B")
     # checkpoint-restored arrays are committed to one device; replicate them
     # over the spatial mesh or jit refuses the mixed device assignment
     from jax.sharding import NamedSharding, PartitionSpec
@@ -101,17 +108,19 @@ def main(argv=None):
     for i, data in enumerate(dataset):
         if cfg.num_test and i >= cfg.num_test:
             break
-        x = jnp.asarray(data["A"])
+        sk = src if src in data else "A"  # single-sided datasets yield A only
+        tk = tgt if f"{tgt}_mean" in data else sk
+        x = jnp.asarray(data[sk])
         nc = x.shape[-1]
         ident = (jnp.zeros((nc,)), jnp.ones((nc,)))
         a_mean, a_std = (
-            (jnp.asarray(data["A_mean"][0]), jnp.asarray(data["A_std"][0]))
-            if "A_mean" in data
+            (jnp.asarray(data[f"{sk}_mean"][0]), jnp.asarray(data[f"{sk}_std"][0]))
+            if f"{sk}_mean" in data
             else ident
         )
         b_mean, b_std = (
-            (jnp.asarray(data["B_mean"][0]), jnp.asarray(data["B_std"][0]))
-            if "B_mean" in data
+            (jnp.asarray(data[f"{tk}_mean"][0]), jnp.asarray(data[f"{tk}_std"][0]))
+            if f"{tk}_mean" in data
             else ident
         )
         t0 = time.time()

@@ -1,6 +1,8 @@
 """Data-parallel training through the REAL CLI (judged config line 11
-pathway): train.py --data_mesh 2 on a virtual 2-device CPU mesh, alone and
-composed with the multi-step device loop (--steps_per_call)."""
+pathway): train.py --data_mesh 8 on a virtual 8-device CPU mesh — the full
+flag-plumbing -> mesh -> shard_batch path at the same width as the library
+tests — alone and composed with the multi-step device loop
+(--steps_per_call)."""
 
 import os
 import subprocess
@@ -11,16 +13,16 @@ import pytest
 ENV = dict(
     os.environ,
     BIASGAN_PLATFORM="cpu",
-    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
 )
 
 BASE = [
     "--model", "pix2pix", "--dataset_mode", "synthetic", "--netG", "unet_d4",
     "--crop_size", "32", "--input_nc", "1", "--output_nc", "1",
-    "--batch_size", "4", "--ngf", "8", "--ndf", "8", "--norm", "instance",
-    "--synthetic_samples", "16", "--print_freq", "4",
+    "--batch_size", "8", "--ngf", "8", "--ndf", "8", "--norm", "instance",
+    "--synthetic_samples", "32", "--print_freq", "8",
     "--n_epochs", "1", "--n_epochs_decay", "0", "--save_epoch_freq", "1",
-    "--data_mesh", "2",
+    "--data_mesh", "8",
 ]
 
 
@@ -37,12 +39,12 @@ def _train(tmp, name, extra):
 
 
 def test_dp_cli(tmp_path):
-    out = _train(tmp_path, "dp2", [])
+    out = _train(tmp_path, "dp8", [])
     assert "G_L1" in out and "End of epoch 1 / 1" in out
-    assert (tmp_path / "dp2" / "ckpt" / "epoch_1").is_dir()
+    assert (tmp_path / "dp8" / "ckpt" / "epoch_1").is_dir()
 
 
 def test_dp_cli_with_scan(tmp_path):
-    out = _train(tmp_path, "dp2scan", ["--steps_per_call", "2"])
+    out = _train(tmp_path, "dp8scan", ["--steps_per_call", "2"])
     assert "G_L1" in out and "End of epoch 1 / 1" in out
-    assert (tmp_path / "dp2scan" / "ckpt" / "epoch_1").is_dir()
+    assert (tmp_path / "dp8scan" / "ckpt" / "epoch_1").is_dir()

@@ -122,7 +122,13 @@ def main(argv=None):
             model.save_networks("latest")
             model.save_networks(f"epoch_{epoch}")
 
-        lr = model.update_learning_rate()
+        # plateau policy needs a tracked metric (torch ReduceLROnPlateau
+        # semantics); feed it end-of-epoch validation RMSE on the last batch
+        metric = None
+        if cfg.lr_policy == "plateau":
+            m = model.compute_validation_metrics()
+            metric = m.get("rmse") if m else None
+        lr = model.update_learning_rate(metric)
         print(
             f"End of epoch {epoch} / {cfg.n_epochs + cfg.n_epochs_decay} \t "
             f"Time: {time.time() - epoch_start:.1f}s \t lr: {lr:.3e}"

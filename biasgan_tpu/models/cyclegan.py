@@ -118,7 +118,15 @@ def create_state(cfg, rng: Array) -> GANTrainState:
     )
 
 
-def make_train_step(cfg, axis_name: Optional[str] = None):
+def make_train_step(
+    cfg,
+    axis_name: Optional[str] = None,
+    fuse_g: Optional[bool] = None,
+    debug_grads: bool = False,
+):
+    """Build the jitted CycleGAN step. ``debug_grads`` adds the raw G/D
+    gradient pytrees to the visuals dict (fused-vs-unfused equivalence
+    tests; never used in training)."""
     gs, ds = build_nets(cfg)
     G_A, G_B, D_A, D_B = gs["G_A"], gs["G_B"], ds["D_A"], ds["D_B"]
     tx_g = adam_transform(cfg.beta1)
@@ -132,6 +140,18 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
     # norm computes per-pass batch statistics, so fusing would change the
     # reference's training semantics there.
     fuse_d = cfg.norm != "batch"
+    # Same gate for the G loss: the reference's 6 generator passes
+    # (fake_B, rec_A, fake_A, rec_B, idt_A, idt_B — SURVEY.md section 3.2)
+    # restructure into THREE batched dispatches ordered by data dependency:
+    #   G_A([real_A; real_B])         -> [fake_B, idt_A]
+    #   G_B([real_B; fake_B; real_A]) -> [fake_A, rec_A, idt_B]
+    #   G_A(fake_A)                   -> rec_B
+    # Instance norm and dropout are per-sample, so batching the passes is
+    # semantically exact (tests/unit/test_cyclegan_fused.py asserts losses
+    # and grads match the unfused path); batch norm is per-pass, so it keeps
+    # the reference-faithful 6-pass path.
+    if fuse_g is None:
+        fuse_g = cfg.norm != "batch"
 
     def train_step(
         state: GANTrainState, batch: Dict[str, Array], rng: Array
@@ -152,20 +172,43 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
         lr = lr_fn(state.step, state.lr_scale)
 
         # ---- G update (first, reference order; Ds constant) ----
+        def g_forwards(gva, gvb):
+            """The 6 reference G passes, as 3 batched dispatches when the
+            norm allows (fuse_g) else verbatim."""
+            b = real_A.shape[0]
+            if fuse_g:
+                in1 = (
+                    jnp.concatenate([real_A, real_B]) if lam_idt > 0 else real_A
+                )
+                out1, gva = apply_net(G_A, gva, in1, True, drop)
+                fake_B = out1[:b]
+                idt_A = out1[b:] if lam_idt > 0 else None
+                in2 = [real_B, fake_B] + ([real_A] if lam_idt > 0 else [])
+                out2, gvb = apply_net(G_B, gvb, jnp.concatenate(in2), True, drop)
+                fake_A, rec_A = out2[:b], out2[b : 2 * b]
+                idt_B = out2[2 * b :] if lam_idt > 0 else None
+                rec_B, gva = apply_net(G_A, gva, fake_A, True, drop)
+            else:
+                fake_B, gva = apply_net(G_A, gva, real_A, True, drop)
+                rec_A, gvb = apply_net(G_B, gvb, fake_B, True, drop)
+                fake_A, gvb = apply_net(G_B, gvb, real_B, True, drop)
+                rec_B, gva = apply_net(G_A, gva, fake_A, True, drop)
+                idt_A = idt_B = None
+                if lam_idt > 0:
+                    idt_A, gva = apply_net(G_A, gva, real_B, True, drop)
+                    idt_B, gvb = apply_net(G_B, gvb, real_A, True, drop)
+            return fake_B, rec_A, fake_A, rec_B, idt_A, idt_B, gva, gvb
+
         def g_loss_fn(g_params):
             gva = {**nets["G_A"], "params": g_params["G_A"]}
             gvb = {**nets["G_B"], "params": g_params["G_B"]}
-            fake_B, gva = apply_net(G_A, gva, real_A, True, drop)
-            rec_A, gvb = apply_net(G_B, gvb, fake_B, True, drop)
-            fake_A, gvb = apply_net(G_B, gvb, real_B, True, drop)
-            rec_B, gva = apply_net(G_A, gva, fake_A, True, drop)
+            fake_B, rec_A, fake_A, rec_B, idt_A, idt_B, gva, gvb = g_forwards(
+                gva, gvb
+            )
             if lam_idt > 0:
-                idt_A, gva = apply_net(G_A, gva, real_B, True, drop)
-                idt_B, gvb = apply_net(G_B, gvb, real_A, True, drop)
                 loss_idt_A = losses.l1_loss(idt_A, real_B) * lam_B * lam_idt
                 loss_idt_B = losses.l1_loss(idt_B, real_A) * lam_A * lam_idt
             else:
-                idt_A = idt_B = None
                 loss_idt_A = loss_idt_B = jnp.zeros(())
             pred_a, _ = apply_net(D_A, nets["D_A"], fake_B, True)
             pred_b, _ = apply_net(D_B, nets["D_B"], fake_A, True)
@@ -277,6 +320,9 @@ def make_train_step(cfg, axis_name: Optional[str] = None):
             "real_A": real_A, "fake_B": gaux["fake_B"], "rec_A": gaux["rec_A"],
             "real_B": real_B, "fake_A": gaux["fake_A"], "rec_B": gaux["rec_B"],
         }
+        if debug_grads:
+            visuals["_g_grads"] = g_grads
+            visuals["_d_grads"] = d_grads
         new_state = state.replace(
             step=state.step + 1,
             nets=new_nets,

@@ -136,6 +136,128 @@ def batchnorm_scale_init(key, shape, dtype=jnp.float32):
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
+# Convs with very few output channels (the 3-channel generator heads, the
+# PatchGAN's 1-channel verdict map) waste the MXU: the lane axis holds
+# output channels, so N=3 pads to 128 and runs at <2% utilization (measured
+# 3.4 ms for the resnet head's 1.23 GF at 256^2 b8 — as long as all nine
+# 256-channel residual blocks combined). Restructuring as a space-to-depth
+# conv fixes it: a stride-1 KxK conv to C channels equals a stride-f
+# (K+f-1)x(K+f-1) conv to f*f*C channels followed by a depth-to-space
+# reshape — identical arithmetic, f*f times more lanes busy. Measured 3.4 ms
+# -> ~0.3 ms (f=4). Exact (bit-identical kernel application; the expanded
+# kernel is just the original scattered at f*f offsets).
+import os as _os
+
+_S2D_MAX_COUT = int(_os.environ.get("BIASGAN_S2D_MAX_COUT", "8"))
+
+
+def _s2d_factor(cout: int, out_h: int, out_w: int) -> int:
+    if cout > _S2D_MAX_COUT:
+        return 1
+    for f in (8, 4, 2):
+        # keep the widened channel axis at/below one 128-lane register
+        if out_h % f == 0 and out_w % f == 0 and f * f * cout <= 192:
+            return f
+    return 1
+
+
+def _conv_s2d(
+    xp: Array,
+    kernel: Array,
+    f: int,
+    *,
+    lhs_dilation: Tuple[int, int] = (1, 1),
+    padding=((0, 0), (0, 0)),
+) -> Array:
+    """Conv of ``xp`` with ``kernel`` (HWIO) restructured as a stride-f conv
+    to f*f*cout channels + depth-to-space. ``lhs_dilation``/``padding`` are
+    folded into the one conv call so stride dilation stays VIRTUAL (a
+    materialized zero buffer costs ~4x the activation's HBM traffic and undoes
+    the MXU win at large batch)."""
+    kh, kw, cin, cout = kernel.shape
+    wz = jnp.zeros((kh + f - 1, kw + f - 1, cin, f * f * cout), kernel.dtype)
+    for dy in range(f):
+        for dx in range(f):
+            o = (dy * f + dx) * cout
+            wz = wz.at[dy : dy + kh, dx : dx + kw, :, o : o + cout].add(kernel)
+    y = jax.lax.conv_general_dilated(
+        xp,
+        wz,
+        window_strides=(f, f),
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=_DIMS,
+    )
+    n, oh, ow, _ = y.shape
+    y = y.reshape(n, oh, ow, f, f, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, oh * f, ow * f, cout)
+
+
+def _conv_valid(xp: Array, kernel: Array, stride: Tuple[int, int]) -> Array:
+    return jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=stride, padding="VALID", dimension_numbers=_DIMS
+    )
+
+
+# Tiny-INPUT-channel convs (the 3-channel G/D stems) have the mirror problem
+# in the BACKWARD pass: autodiff's input-grad is a transposed conv producing
+# cin channels — N=3 on the MXU again, ~3 ms per occurrence at 256^2 b8
+# (it fires whenever the conv's input depends on parameters: the cycle
+# passes G(G(x)) and every D-on-fake pass of the G loss). The custom VJP
+# below computes the input-grad through the same space-to-depth
+# restructuring, and the weight-grad with the standard batch-as-contraction
+# transposition (GEMM N = cout, unchanged from what autodiff would build).
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_tiny_cin(xp: Array, kernel: Array, stride: Tuple[int, int]) -> Array:
+    return _conv_valid(xp, kernel, stride)
+
+
+def _conv_tiny_cin_fwd(xp, kernel, stride):
+    return _conv_valid(xp, kernel, stride), (xp, kernel)
+
+
+def _conv_tiny_cin_bwd(stride, res, g):
+    xp, kernel = res
+    kh, kw, cin, cout = kernel.shape
+    sh, sw = stride
+    n, oh, ow, _ = g.shape
+    # With inexact tiling ((H_pad - k) % s != 0, e.g. 3x3 s2 on even inputs)
+    # the last d = H_pad - ((oh-1)s + k) rows/cols are never read by any
+    # window: their input-grad is zero and they must be excluded from the
+    # weight-grad contraction.
+    uh, uw = (oh - 1) * sh + kh, (ow - 1) * sw + kw
+    dh, dw = xp.shape[1] - uh, xp.shape[2] - uw
+    # input grad: correlate the (stride-dilated, full-padded) cotangent with
+    # the space-flipped, channel-transposed kernel -> cin channels, via s2d;
+    # dilation and full-padding stay virtual inside the one conv call
+    kt = kernel[::-1, ::-1].transpose(0, 1, 3, 2).astype(g.dtype)
+    pad = ((kh - 1, kh - 1 + dh), (kw - 1, kw - 1 + dw))
+    f = _s2d_factor(cin, xp.shape[1], xp.shape[2])
+    if f > 1:
+        dx = _conv_s2d(g, kt, f, lhs_dilation=(sh, sw), padding=pad)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, kt, (1, 1), pad, lhs_dilation=(sh, sw), dimension_numbers=_DIMS
+        )
+    # weight grad: batch-as-contraction conv (GEMM M = kh*kw*cin, N = cout,
+    # K = n*oh*ow) — the same transposition autodiff uses
+    dk = jax.lax.conv_general_dilated(
+        xp[:, :uh, :uw, :].transpose(3, 1, 2, 0),
+        g.transpose(1, 2, 0, 3),
+        window_strides=(1, 1),
+        padding="VALID",
+        rhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).transpose(1, 2, 0, 3)
+    return dx.astype(xp.dtype), dk.astype(kernel.dtype)
+
+
+_conv_tiny_cin.defvjp(_conv_tiny_cin_fwd, _conv_tiny_cin_bwd)
+
 
 def conv2d(
     x: Array,
@@ -168,9 +290,18 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
-    y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=stride, padding="VALID", dimension_numbers=_DIMS
-    )
+    f = _s2d_factor(kernel.shape[-1], out_h, out_w_local) if stride == (1, 1) else 1
+    if f > 1:
+        y = _conv_s2d(x, kernel, f)
+    elif (
+        kernel.shape[2] <= _S2D_MAX_COUT
+        and not _os.environ.get("BIASGAN_NO_TINY_CIN_VJP")
+    ):
+        y = _conv_tiny_cin(x, kernel, stride)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=stride, padding="VALID", dimension_numbers=_DIMS
+        )
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -214,14 +345,32 @@ def conv_transpose2d(
         x = x.astype(compute_dtype)
         kflip = kflip.astype(compute_dtype)
     if ctx is None and w_mode != "wrap":
-        y = jax.lax.conv_general_dilated(
-            x,
-            kflip,
-            window_strides=(1, 1),
-            padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=_DIMS,
-        )
+        out_h = (x.shape[1] - 1) * sh - 2 * ph + kh + oph
+        out_w = (x.shape[2] - 1) * sw - 2 * pw + kw + opw
+        f = _s2d_factor(kernel.shape[-1], out_h, out_w)
+        if f > 1:
+            # tiny-output-channel transpose (e.g. the U-Net's final
+            # 4x4 s2 ->output_nc upconv): space-to-depth restructured conv
+            # with the stride dilation kept virtual inside the call
+            y = _conv_s2d(
+                x,
+                kflip,
+                f,
+                lhs_dilation=(sh, sw),
+                padding=(
+                    (kh - 1 - ph, kh - 1 - ph + oph),
+                    (kw - 1 - pw, kw - 1 - pw + opw),
+                ),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kflip,
+                window_strides=(1, 1),
+                padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=_DIMS,
+            )
     else:
         if 2 * pw != kw - sw + opw:
             raise ValueError(
@@ -347,14 +496,27 @@ def norm_act(
 ) -> Array:
     """norm -> [+ residual] -> activation, the chain that follows every conv.
 
-    For instance norm on a single device this lowers to ONE fused Pallas
-    kernel (ops/pallas_fused.py): mean/var, normalize, residual add and
-    activation in a single VMEM pass — the "conv+norm+activation blocks
-    lowered to Pallas where XLA fusion falls short" mandate (BASELINE.json:5).
-    Batch/none norms and spatially-sharded instance norm (cross-shard pmean
-    stats) take the plain XLA path. Must be called inside an nn.compact
-    context when norm_type needs parameters ('batch')."""
-    if norm_type == "instance" and ctx is None:
+    A fused Pallas kernel exists for the single-device instance-norm case
+    (ops/pallas_fused.py: mean/var, normalize, residual add and activation in
+    one VMEM pass) but is OPT-IN (BIASGAN_FORCE_PALLAS_NORM=1): measured on
+    the v5e, XLA does NOT fall short here — it fuses the norm chain into the
+    surrounding convs, while the opaque pallas_call is a fusion barrier.
+    An 18-conv/norm resnet-block chain at 64x64x256 b16 runs 9.4 ms via XLA
+    vs 11.8 ms via the kernel, and the full CycleGAN 256^2 step is ~9% faster
+    without it (42.7 vs 39.1 samples/s, tools/profile_cyclegan.py). The
+    north-star mandate is Pallas *where XLA fusion falls short*
+    (BASELINE.json:5); on this chain it doesn't, so the default is XLA. The
+    kernel stays tested (tests/unit/test_pallas.py) and the Pallas RDMA halo
+    ring (ops/pallas_halo.py) remains the native tier's win surface.
+    Must be called inside an nn.compact context when norm_type needs
+    parameters ('batch')."""
+    import os
+
+    if (
+        norm_type == "instance"
+        and ctx is None
+        and os.environ.get("BIASGAN_FORCE_PALLAS_NORM")
+    ):
         from biasgan_tpu.ops.pallas_fused import fused_instance_norm_act
 
         return fused_instance_norm_act(x, residual, activation, eps)

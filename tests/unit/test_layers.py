@@ -70,3 +70,71 @@ def test_conv_transpose_matches_manual_dilation():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MXU-friendly restructurings of tiny-channel convs must be exact transforms
+# (space-to-depth forward path + custom-VJP input/weight grads)
+# ---------------------------------------------------------------------------
+
+
+def _plain_conv(x, kern, stride, pad):
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp, kern, stride, "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,s,p,hw",
+    [
+        (64, 3, 7, 1, 3, 32),   # resnet head (s2d forward path)
+        (3, 64, 7, 1, 3, 32),   # resnet stem (tiny-cin custom VJP)
+        (3, 64, 4, 2, 1, 32),   # unet/patchgan first conv, strided
+        (6, 64, 4, 2, 1, 32),   # conditional D first conv
+        (64, 1, 3, 1, 1, 30),   # patchgan verdict head (30 % 4 != 0 -> f=2)
+        (64, 3, 3, 1, 1, 9),    # odd size: no factor divides -> plain path
+        (8, 16, 3, 2, 1, 32),   # resnet downconv: inexact tiling (34-3)%2=1
+        (3, 64, 3, 2, 1, 32),   # tiny-cin strided, inexact tiling
+        (3, 48, 5, 3, 2, 32),   # stride 3, deficit 2
+    ],
+)
+def test_tiny_channel_conv_value_and_grads_match_plain(cin, cout, k, s, p, hw):
+    x = _rand(0, (2, hw, hw, cin))
+    kern = 0.1 * _rand(1, (k, k, cin, cout))
+
+    def ours(x, kern):
+        return conv2d(x, kern, None, (s, s), (p, p))
+
+    def plain(x, kern):
+        return _plain_conv(x, kern, (s, s), p)
+
+    np.testing.assert_allclose(
+        np.asarray(ours(x, kern)), np.asarray(plain(x, kern)), rtol=1e-5, atol=1e-5
+    )
+
+    def loss_ours(x, kern):
+        return jnp.sum(jnp.sin(ours(x, kern)))
+
+    def loss_plain(x, kern):
+        return jnp.sum(jnp.sin(plain(x, kern)))
+
+    gx, gk = jax.grad(loss_ours, argnums=(0, 1))(x, kern)
+    px, pk = jax.grad(loss_plain, argnums=(0, 1))(x, kern)
+    # weight grads sum O(B*H*W) f32 terms in a different association order
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(px), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(pk), rtol=5e-4, atol=5e-4)
+
+
+def test_tiny_channel_conv_under_vmap_and_bf16():
+    """The custom-VJP path must compose with vmap (scan device loop) and
+    bfloat16 compute."""
+    x = _rand(0, (2, 2, 16, 16, 3)).astype(jnp.bfloat16)
+    kern = (0.1 * _rand(1, (4, 4, 3, 8))).astype(jnp.bfloat16)
+
+    def f(x, kern):
+        return jnp.sum(conv2d(x, kern, None, (2, 2), (1, 1)).astype(jnp.float32))
+
+    vg = jax.vmap(jax.grad(f, argnums=1), in_axes=(0, None))(x, kern)
+    assert vg.shape == (2, 4, 4, 3, 8)
+    assert bool(jnp.all(jnp.isfinite(vg.astype(jnp.float32))))

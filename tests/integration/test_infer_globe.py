@@ -88,6 +88,25 @@ def test_output_is_in_physical_units(store):
     assert 200.0 < t2m_mean < 360.0, t2m_mean
 
 
+def test_full_globe_inference_bf16_close_to_f32(store):
+    """--compute_dtype bfloat16 (the judged fast path, BASELINE.md line-10
+    bf16 row) must produce fields close to the f32 run in physical units:
+    bf16 carries ~8 mantissa bits, so after destandardization (std ~10 K)
+    per-pixel error should stay well under 1 K on a near-init G."""
+    y_f32 = _run(store, 1, "units_f32")
+    out_dir = infer.main(
+        _common_args(store)
+        + [
+            "--full_field", "--num_test", "1",
+            "--spatial_mesh", "1", "--compute_dtype", "bfloat16",
+            "--results_dir", str(store / "results_bf16"),
+        ]
+    )
+    y_bf16 = np.load(os.path.join(out_dir, "corrected_00000.npy"))
+    assert y_bf16.dtype == np.float32  # outputs destandardize back to f32
+    np.testing.assert_allclose(y_bf16, y_f32, rtol=2e-2, atol=1.0)
+
+
 def test_full_globe_inference_rdma_halo(store):
     """infer.py --halo_rdma: the Pallas RDMA ring transport produces the same
     corrected field as the ppermute transport (CPU interpreter mesh)."""

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Diagnostics for the primary-metric plateau (~1370 samples/s, HBM-bound):
+time the judged pix2pix 256^2 b128 step under controlled variations to find
+where the remaining bytes/cycles go.
+
+Variants (comma list in VARIANTS env or argv[1]; default all):
+  base       — judged config verbatim (bench.py defaults, scan K=4)
+  rbg        — jax_default_prng_impl=rbg (cheap XLA RBG vs threefry for the
+               in-graph dropout/aug keys; diagnostic AND candidate default)
+  nodrop     — no_dropout=True (NOT the judged config; sizes dropout's cost)
+  noscan     — scan K=1 (dispatch overhead check)
+
+Usage: python tools/diag_primary.py [variants]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+variants = (sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "VARIANTS", "base,rbg,nodrop,noscan")).split(",")
+
+import jax
+
+if "rbg" in variants and variants[0] == "rbg":
+    # PRNG impl must be set before any key creation; run one variant per
+    # process for rbg (the compile cache makes repeat runs cheap)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+import jax.numpy as jnp
+
+from biasgan_tpu import enable_compile_cache, respect_platform_env
+
+respect_platform_env()
+enable_compile_cache()
+from biasgan_tpu.config import merge_config_cls, TrainConfig
+from biasgan_tpu.models.common import make_scan_step
+from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
+
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+STEPS = int(os.environ.get("BENCH_STEPS", "4"))
+
+
+def run(tag: str, no_dropout: bool, scan_k: int):
+    cls = merge_config_cls(TrainConfig, Pix2PixConfig)
+    cfg = cls(
+        model="pix2pix", netG="unet_256", netD="basic", norm="batch",
+        gan_mode="vanilla", pool_size=0, no_dropout=no_dropout,
+        crop_size=256, input_nc=3, output_nc=3, batch_size=BATCH,
+        ngf=64, ndf=64, steps_per_epoch=1000, compute_dtype="bfloat16",
+        checkpoints_dir="/tmp/bgt_diag", name="diag",
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng)
+    step_fn = make_train_step(cfg)
+    if scan_k > 1:
+        step_fn = make_scan_step(step_fn, scan_k)
+    step = jax.jit(step_fn, donate_argnums=0)
+    a = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 256, 256, 3), jnp.float32)
+    batch = {"A": a, "B": jnp.tanh(a)}
+    if scan_k > 1:
+        batch = {k: jnp.broadcast_to(v, (scan_k,) + v.shape) for k, v in batch.items()}
+
+    def sync(l):
+        float(l["G_GAN"])
+
+    for i in range(2):
+        state, losses, _ = step(state, batch, jax.random.fold_in(rng, i))
+    sync(losses)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, losses, _ = step(state, batch, jax.random.fold_in(rng, 10 + i))
+    sync(losses)
+    dt = time.perf_counter() - t0
+    rate = BATCH * STEPS * scan_k / dt
+    print(json.dumps({"variant": tag, "samples_per_sec": round(rate, 1),
+                      "prng": jax.config.jax_default_prng_impl,
+                      "scan_k": scan_k, "no_dropout": no_dropout}), flush=True)
+
+
+for v in variants:
+    if v == "base" or v == "rbg":
+        run(v, no_dropout=False, scan_k=4)
+    elif v == "nodrop":
+        run(v, no_dropout=True, scan_k=4)
+    elif v == "noscan":
+        run(v, no_dropout=False, scan_k=1)

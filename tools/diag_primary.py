@@ -67,7 +67,7 @@ def run(tag: str, no_dropout: bool, scan_k: int):
         batch = {k: jnp.broadcast_to(v, (scan_k,) + v.shape) for k, v in batch.items()}
 
     def sync(l):
-        float(l["G_GAN"])
+        float(jnp.sum(l["G_GAN"]))
 
     for i in range(2):
         state, losses, _ = step(state, batch, jax.random.fold_in(rng, i))

@@ -52,21 +52,47 @@ class BaseModel:
         self.state: GANTrainState = self._create_state(jax.random.PRNGKey(cfg.seed))
 
         self.mesh = None
+        self._spatial_ctx = None
         axis_name = None
-        if getattr(cfg, "data_mesh", 1) > 1:
+        data_n = max(int(getattr(cfg, "data_mesh", 1)), 1)
+        spatial_n = (
+            max(int(getattr(cfg, "spatial_mesh", 1)), 1) if self.is_train else 1
+        )
+        if data_n > 1 or spatial_n > 1:
             from biasgan_tpu.parallel import make_mesh
 
-            self.mesh = make_mesh(data=cfg.data_mesh)
-            axis_name = "data"
+            self.mesh = make_mesh(data=data_n, spatial=spatial_n)
+            names = tuple(self.mesh.axis_names)
+            axis_name = names[0] if len(names) == 1 else names
+        if spatial_n > 1:
+            from biasgan_tpu.parallel.spatial import HaloCtx
+
+            # spatially-sharded TRAINING: W (longitude) axis sharded, halo
+            # exchange in every conv, pmean'd instance-norm stats/losses/
+            # grads — the exact whole-field step (parallel/spatial.py)
+            self._spatial_ctx = HaloCtx(
+                axis="spatial",
+                n_shards=spatial_n,
+                periodic=getattr(cfg, "w_pad_mode", "") == "wrap",
+            )
 
         self.steps_per_call = max(int(getattr(cfg, "steps_per_call", 1)), 1)
         if self.is_train:
-            step = self._make_train_step(axis_name)
+            step = self._make_train_step(axis_name, self._spatial_ctx)
             if self.steps_per_call > 1:
+                if self._spatial_ctx is not None:
+                    raise NotImplementedError(
+                        "--steps_per_call > 1 with --spatial_mesh is not "
+                        "supported (scan batch stacking vs W sharding)"
+                    )
                 from biasgan_tpu.models.common import make_scan_step
 
                 step = make_scan_step(step, self.steps_per_call)
-            if self.mesh is not None:
+            if self._spatial_ctx is not None:
+                from biasgan_tpu.parallel.spatial import spatial_train_step
+
+                step = spatial_train_step(step, self.mesh, cfg)
+            elif self.mesh is not None:
                 from biasgan_tpu.parallel import data_parallel_step
 
                 step = data_parallel_step(
@@ -83,7 +109,7 @@ class BaseModel:
     def _create_state(self, rng) -> GANTrainState:
         raise NotImplementedError
 
-    def _make_train_step(self, axis_name):
+    def _make_train_step(self, axis_name, ctx=None):
         raise NotImplementedError
 
     def _make_eval_fn(self):
@@ -108,7 +134,11 @@ class BaseModel:
             k: v for k, v in data.items() if not k.endswith("_paths")
         }
         self._paths = data.get("A_paths", data.get("B_paths", []))
-        if self.mesh is not None:
+        if self._spatial_ctx is not None:
+            from biasgan_tpu.parallel.spatial import shard_batch_spatial
+
+            self._batch = shard_batch_spatial(self._batch, self.mesh)
+        elif self.mesh is not None:
             from biasgan_tpu.parallel import shard_batch
 
             self._batch = shard_batch(

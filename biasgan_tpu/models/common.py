@@ -179,7 +179,7 @@ def tree_l2(tree) -> jax.Array:
     )
 
 
-def prepare_batch(batch, rng, cfg, train: bool = True):
+def prepare_batch(batch, rng, cfg, train: bool = True, skip_aug: bool = False):
     """In-graph standardization + augmentation (north star BASELINE.json:5).
 
     Standardizes A/B with the per-variable stats the dataset rode along in
@@ -194,7 +194,7 @@ def prepare_batch(batch, rng, cfg, train: bool = True):
         if k in out and mk in out:
             out[k] = standardize(out[k], out[mk][0], out[sk][0])
             del out[mk], out[sk]
-    if train and getattr(cfg, "in_graph_aug", False):
+    if train and not skip_aug and getattr(cfg, "in_graph_aug", False):
         out = in_graph_augment(
             out,
             rng,

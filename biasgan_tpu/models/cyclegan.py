@@ -384,7 +384,13 @@ class CycleGANModel(base.BaseModel):
     def _create_state(self, rng):
         return create_state(self.cfg, rng)
 
-    def _make_train_step(self, axis_name):
+    def _make_train_step(self, axis_name, ctx=None):
+        if ctx is not None:
+            raise NotImplementedError(
+                "spatially-sharded CycleGAN training is not wired up yet "
+                "(replay pools hold whole fields); use pix2pix/paired or "
+                "--spatial_mesh 1"
+            )
         return make_train_step(self.cfg, axis_name)
 
     def _make_eval_fn(self):

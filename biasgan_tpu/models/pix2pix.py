@@ -95,8 +95,30 @@ def create_state(cfg, rng: Array) -> GANTrainState:
     )
 
 
-def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool = False):
-    """Build the pure jitted train step. See module docstring for semantics."""
+def make_train_step(
+    cfg,
+    axis_name=None,
+    debug_grad_norms: bool = False,
+    ctx=None,
+):
+    """Build the pure jitted train step. See module docstring for semantics.
+
+    ``axis_name``: mesh axis (or tuple of axes) to pmean grads/losses over —
+    'data' for DP, 'spatial' for spatially-sharded training, or both.
+    ``ctx``: a HaloCtx when the batch's W axis is sharded — every conv pads
+    via halo exchange and instance norm pmeans its stats, so the step
+    computes exactly the whole-field function (parallel/spatial.py)."""
+    if ctx is not None:
+        if cfg.norm == "batch":
+            raise NotImplementedError(
+                "spatially-sharded training with batch norm is out of scope "
+                "(cross-shard batch stats; use --norm instance)"
+            )
+        if cfg.gan_mode == "wgangp":
+            raise NotImplementedError(
+                "wgangp gradient penalty norms are W-global; not supported "
+                "under spatial sharding"
+            )
     G, D = build_nets(cfg)
     tx_g = adam_transform(cfg.beta1)
     tx_d = adam_transform(cfg.beta1)
@@ -108,10 +130,20 @@ def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool
     def train_step(
         state: GANTrainState, batch: Dict[str, Array], rng: Array
     ) -> Tuple[GANTrainState, Dict[str, Array], Dict[str, Array]]:
-        if axis_name is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        # fold the rng per data shard (independent dropout/aug per replica);
+        # spatial shards share one rng — they hold slices of the SAME fields
+        names = () if axis_name is None else (
+            (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+        )
+        if "data" in names:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         rng_drop, rng_gp, rng_aug = jax.random.split(rng, 3)
-        batch = prepare_batch(batch, rng_aug, cfg, train=True)
+        # under spatial sharding the W-flip/lon-roll aug is nonlocal; it is
+        # applied GLOBALLY by spatial_train_step (outside the shard_map,
+        # where GSPMD partitions it) — skip it here to avoid double-aug
+        batch = prepare_batch(
+            batch, rng_aug, cfg, train=True, skip_aug=ctx is not None
+        )
         real_A, real_B = resolve_direction(batch, cfg.direction)
         g_vars, d_vars = state.nets["G"], state.nets["D"]
         drop_rngs = {"dropout": rng_drop}
@@ -122,12 +154,35 @@ def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool
         # (pullback of dLoss/dfake_B through G). Saves a full G recompute.
         def g_forward(g_params):
             gv = {**g_vars, "params": g_params}
-            fake, gv = apply_net(G, gv, real_A, True, drop_rngs)
+            fake, gv = apply_net(G, gv, real_A, True, drop_rngs, ctx)
             return fake, gv
 
         fake_B, g_vjp, gv_after = jax.vjp(g_forward, g_vars["params"], has_aux=True)
-        real_AB = jnp.concatenate([real_A, real_B], axis=-1)
-        fake_AB = jnp.concatenate([real_A, jax.lax.stop_gradient(fake_B)], axis=-1)
+
+        # Under spatial sharding the G stays sharded (that's the memory win —
+        # its stored-for-backward activations dominate), but a PatchGAN D
+        # cannot: its final stride-1 4x4 convs shrink W by 1, which breaks
+        # uniform sharding. Gather W for the D inputs instead — D compute is
+        # replicated across spatial shards (D is the light net), its grads
+        # come out identical per shard, and the fake-cotangent flows back
+        # through all_gather's transpose (reduce_scatter) into the sharded G.
+        # A 1x1 'pixel' D has no such convs and stays fully sharded.
+        d_ctx = ctx
+        gather_w = None
+        if ctx is not None and cfg.netD != "pixel":
+            d_ctx = None
+
+            def gather_w(t):
+                return jax.lax.all_gather(t, ctx.axis, axis=2, tiled=True)
+
+        def for_d(t):
+            return gather_w(t) if gather_w is not None else t
+
+        real_AB = jnp.concatenate([for_d(real_A), for_d(real_B)], axis=-1)
+        fake_d = for_d(fake_B)
+        fake_AB = jnp.concatenate(
+            [for_d(real_A), jax.lax.stop_gradient(fake_d)], axis=-1
+        )
 
         # ---- D update (first, as in the reference). The fake and real
         # passes fuse into ONE 2B-batch pass when D has no batch norm
@@ -139,12 +194,12 @@ def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool
             dv = {**d_vars, "params": d_params}
             if fuse_d:
                 pred, dv = apply_net(
-                    D, dv, jnp.concatenate([fake_AB, real_AB]), True
+                    D, dv, jnp.concatenate([fake_AB, real_AB]), True, ctx=d_ctx
                 )
                 pred_fake, pred_real = jnp.split(pred, 2)
             else:
-                pred_fake, dv = apply_net(D, dv, fake_AB, True)
-                pred_real, dv = apply_net(D, dv, real_AB, True)
+                pred_fake, dv = apply_net(D, dv, fake_AB, True, ctx=d_ctx)
+                pred_real, dv = apply_net(D, dv, real_AB, True, ctx=d_ctx)
             loss_fake = losses.gan_loss(pred_fake, False, gan_mode)
             loss_real = losses.gan_loss(pred_real, True, gan_mode)
             loss = 0.5 * (loss_fake + loss_real)
@@ -171,8 +226,11 @@ def make_train_step(cfg, axis_name: Optional[str] = None, debug_grad_norms: bool
         # loss differentiated w.r.t. fake_B, then pulled back through the
         # saved G linearization ----
         def g_head_loss(fake):
-            fake_ab = jnp.concatenate([real_A, fake], axis=-1)
-            pred_fake, dv = apply_net(D, d_vars_new, fake_ab, True)
+            # gathered-D path: the cotangent returns through all_gather's
+            # transpose (reduce_scatter), whose n-times factor exactly
+            # cancels the spatial pmean on g_grads — global grad, exact
+            fake_ab = jnp.concatenate([for_d(real_A), for_d(fake)], axis=-1)
+            pred_fake, dv = apply_net(D, d_vars_new, fake_ab, True, ctx=d_ctx)
             loss_gan = losses.gan_loss(pred_fake, True, gan_mode)
             loss_l1 = losses.l1_loss(fake, real_B) * lambda_l1
             return loss_gan + loss_l1, (dv, loss_gan, loss_l1)
@@ -260,8 +318,8 @@ class Pix2PixModel(base.BaseModel):
     def _create_state(self, rng):
         return create_state(self.cfg, rng)
 
-    def _make_train_step(self, axis_name):
-        return make_train_step(self.cfg, axis_name)
+    def _make_train_step(self, axis_name, ctx=None):
+        return make_train_step(self.cfg, axis_name, ctx=ctx)
 
     def _make_eval_fn(self):
         return make_eval_fn(self.cfg)

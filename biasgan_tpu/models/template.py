@@ -149,7 +149,9 @@ class TemplateModel(base.BaseModel):
     def _create_state(self, rng):
         return create_state(self.cfg, rng)
 
-    def _make_train_step(self, axis_name):
+    def _make_train_step(self, axis_name, ctx=None):
+        if ctx is not None:
+            raise NotImplementedError("spatial training: see pix2pix")
         return make_train_step(self.cfg, axis_name)
 
     def _make_eval_fn(self):

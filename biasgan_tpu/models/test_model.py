@@ -67,7 +67,7 @@ class TestModel(base.BaseModel):
             compute_dtype=compute_dtype_of(cfg),
         )
 
-    def _make_train_step(self, axis_name):
+    def _make_train_step(self, axis_name, ctx=None):
         raise NotImplementedError("TestModel does not train")
 
     def load_networks(self, tag):

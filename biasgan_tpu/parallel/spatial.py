@@ -121,6 +121,82 @@ def pad_to_multiple(
     return jnp.pad(x, cfg, mode=mode), size
 
 
+def _batch_leaf_spec(leaf, data: bool) -> P:
+    """Partition spec for one batch-dict leaf under spatial(+data) training:
+    rank-4 (B,H,W,C) fields shard W over 'spatial' (and B over 'data' when a
+    data axis exists); lower-rank riders (per-variable stats) shard only B."""
+    d = "data" if data else None
+    if getattr(leaf, "ndim", 0) >= 4:
+        return P(d, None, "spatial", None)
+    return P(d)
+
+
+def spatial_train_step(train_step, mesh: Mesh, cfg=None):
+    """shard_map a train step for spatially-sharded TRAINING: the W
+    (longitude) axis of every field in the batch is sharded over the mesh
+    'spatial' axis (composing with a 'data' axis when the mesh has one), the
+    state stays replicated, and the step — built with a HaloCtx and
+    axis_name covering every mesh axis — exchanges conv halos and pmeans
+    instance-norm stats, losses and grads over ICI.
+
+    The in-graph W-flip / lon-roll augmentation is nonlocal along the
+    sharded axis, so it is applied HERE, at the jit level outside the
+    shard_map, where GSPMD partitions the flip/roll (collectives as needed);
+    the step itself skips aug under a ctx. Standardization is pointwise and
+    commutes with both, so it stays inside.
+
+    Sequence-parallel-analog TRAINING (SURVEY.md section 5): fields larger
+    than one chip's memory train exactly — same function as the whole-field
+    step (tests/distributed/test_spatial_train.py)."""
+    data = "data" in mesh.axis_names
+    aug = cfg is not None and getattr(cfg, "in_graph_aug", False)
+
+    def wrapped(state, batch, rng):
+        return train_step(state, batch, rng)
+
+    def call(state, batch, rng):
+        if aug:
+            from biasgan_tpu.data.transforms import in_graph_augment
+
+            # mirror the step's rng split so aug keys stay off the
+            # dropout/gp streams (exact stream identity is not required —
+            # augmentation randomness has no cross-path contract)
+            rng_aug = jax.random.split(rng, 3)[2]
+            batch = in_graph_augment(
+                batch,
+                rng_aug,
+                flip=not getattr(cfg, "no_flip", False),
+                lon_roll=getattr(cfg, "aug_lon_roll", False),
+            )
+        in_specs = (
+            P(),
+            {k: _batch_leaf_spec(v, data) for k, v in batch.items()},
+            P(),
+        )
+        vis_spec = P("data" if data else None, None, "spatial", None)
+        return _shard_map(
+            wrapped,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P(), vis_spec),
+            check_vma=False,
+        )(state, batch, rng)
+
+    return call
+
+
+def shard_batch_spatial(batch, mesh: Mesh):
+    """Place a host batch with W sharded over 'spatial' (and the batch axis
+    over 'data' when present)."""
+    from jax.sharding import NamedSharding
+
+    data = "data" in mesh.axis_names
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, _batch_leaf_spec(v, data)))
+        for k, v in batch.items()
+    }
+
+
 def spatial_apply(
     module,
     mesh: Mesh,

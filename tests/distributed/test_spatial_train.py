@@ -1,0 +1,155 @@
+"""Spatially-sharded TRAINING (virtual CPU mesh): the pix2pix train step
+with the W axis sharded over the mesh 'spatial' axis must compute exactly
+the whole-field step — same losses, same updated parameters — because every
+conv halo-exchanges its margin and instance norm pmeans its stats
+(parallel/spatial.py::spatial_train_step). Also composes with a 'data' axis
+(2-D data x spatial mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biasgan_tpu.config import parse_config
+from biasgan_tpu.models.pix2pix import create_state, make_train_step
+from biasgan_tpu.parallel import make_mesh
+from biasgan_tpu.parallel.spatial import (
+    HaloCtx,
+    shard_batch_spatial,
+    spatial_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _cfg(extra=()):
+    cfg = _parse(extra)
+    cfg.in_graph_aug = False  # nonlocal along sharded W; guarded by the step
+    return cfg
+
+
+def _parse(extra=()):
+    return parse_config(
+        [
+            "--model", "pix2pix", "--dataset_mode", "synthetic",
+            "--netG", "resnet_3blocks", "--norm", "instance", "--no_dropout",
+            "--netD", "basic", "--gan_mode", "lsgan",
+            "--crop_size", "32", "--input_nc", "1", "--output_nc", "1",
+            "--batch_size", "2", "--ngf", "8", "--ndf", "8",
+            "--checkpoints_dir", "/tmp/bgt_sp_train", "--name", "sp",
+            *extra,
+        ],
+        train=True,
+    )
+
+
+def _batch(cfg, key=7):
+    a = jax.random.normal(
+        jax.random.PRNGKey(key), (cfg.batch_size, 32, 32, cfg.input_nc)
+    )
+    return {"A": a, "B": jnp.tanh(a)}
+
+
+def _trees_close(t1, t2, rtol=2e-4, atol=2e-4):
+    flat1 = jax.tree_util.tree_leaves(t1)
+    flat2 = jax.tree_util.tree_leaves(t2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol, atol)
+
+
+# Adam's first steps move each param by ~±lr regardless of grad magnitude
+# (g/sqrt(g^2)), so float noise on near-zero grads flips single elements by
+# 2*lr — params get a scale-aware tolerance; the tight checks are losses,
+# grad NORMS (debug_grad_norms) and the assembled fake field.
+PARAM_ATOL = 1.5e-3  # ~3.7x lr; structural bugs (missing halo) are >>1e-2
+
+
+@pytest.mark.parametrize("w_pad", ["zero", "wrap"])
+def test_spatial_train_step_equals_single_device(w_pad):
+    # resnet's reflect W-padding is unsupported on a sharded axis (guarded);
+    # spatial training runs with 'zero' or 'wrap' (periodic longitude)
+    cfg = _cfg(["--w_pad_mode", w_pad])
+    cfg.steps_per_epoch = 10
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+    single = jax.jit(make_train_step(cfg, debug_grad_norms=True))
+    s_ref, l_ref, v_ref = single(state0, batch, rng)
+    s_ref, l_ref, v_ref = single(s_ref, batch, rng)
+
+    mesh = make_mesh(data=1, spatial=4)
+    ctx = HaloCtx("spatial", 4, periodic=(w_pad == "wrap"))
+    step = jax.jit(
+        spatial_train_step(
+            make_train_step(cfg, "spatial", debug_grad_norms=True, ctx=ctx),
+            mesh,
+        )
+    )
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    sb = shard_batch_spatial(batch, mesh)
+    s_sp, l_sp, v_sp = step(state, sb, rng)
+    s_sp, l_sp, v_sp = step(s_sp, shard_batch_spatial(batch, mesh), rng)
+
+    for k in l_ref:
+        np.testing.assert_allclose(
+            float(l_sp[k]), float(l_ref[k]), rtol=3e-4, atol=3e-4
+        ), k
+    _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
+    # visuals reassemble to the full field
+    np.testing.assert_allclose(
+        np.asarray(v_sp["fake_B"]), np.asarray(v_ref["fake_B"]),
+        rtol=5e-4, atol=5e-4,
+    )
+
+
+def test_spatial_train_composes_with_data_parallel():
+    """2-D mesh (data=2, spatial=4): batch sharded over 'data', W over
+    'spatial'; grads pmean over both axes == single-device step on the full
+    batch."""
+    cfg = _cfg(["--w_pad_mode", "zero"])
+    cfg.batch_size = 4
+    cfg.steps_per_epoch = 10
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(2)
+
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+    single = jax.jit(make_train_step(cfg, debug_grad_norms=True))
+    s_ref, l_ref, _ = single(state0, batch, rng)
+
+    mesh = make_mesh(data=2, spatial=4)
+    ctx = HaloCtx("spatial", 4, periodic=False)
+    step = jax.jit(
+        spatial_train_step(
+            make_train_step(
+                cfg, ("data", "spatial"), debug_grad_norms=True, ctx=ctx
+            ),
+            mesh,
+        )
+    )
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    s_sp, l_sp, _ = step(state, shard_batch_spatial(batch, mesh), rng)
+
+    # NOTE: per-data-shard rng folding makes dropout/aug differ from the
+    # single-device draw, but this config has no dropout and no in-graph
+    # aug, so grads must match exactly up to float tolerance.
+    for k in l_ref:
+        np.testing.assert_allclose(
+            float(l_sp[k]), float(l_ref[k]), rtol=5e-4, atol=5e-4
+        ), k
+    _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
+
+
+def test_spatial_train_guards():
+    cfg = _cfg()
+    ctx = HaloCtx("spatial", 4, periodic=False)
+    cfg.norm = "batch"
+    with pytest.raises(NotImplementedError, match="batch norm"):
+        make_train_step(cfg, "spatial", ctx=ctx)
+    cfg.norm = "instance"
+    cfg.gan_mode = "wgangp"
+    with pytest.raises(NotImplementedError, match="wgangp"):
+        make_train_step(cfg, "spatial", ctx=ctx)

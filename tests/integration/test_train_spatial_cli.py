@@ -1,0 +1,50 @@
+"""Spatially-sharded training through the REAL CLI: train.py
+--spatial_mesh 4 (and --data_mesh 2 --spatial_mesh 4 on one 2-D mesh) on a
+virtual 8-device CPU mesh — flag plumbing -> mesh + HaloCtx ->
+shard_batch_spatial -> halo-exchanged train step."""
+
+import os
+import subprocess
+import sys
+
+ENV = dict(
+    os.environ,
+    BIASGAN_PLATFORM="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+BASE = [
+    "--model", "pix2pix", "--dataset_mode", "synthetic",
+    "--netG", "resnet_3blocks", "--norm", "instance", "--no_dropout",
+    "--netD", "basic", "--gan_mode", "lsgan", "--w_pad_mode", "wrap",
+    "--crop_size", "32", "--input_nc", "1", "--output_nc", "1",
+    "--batch_size", "4", "--ngf", "8", "--ndf", "8",
+    "--synthetic_samples", "16", "--print_freq", "4",
+    "--n_epochs", "1", "--n_epochs_decay", "0", "--save_epoch_freq", "1",
+]
+
+
+def _train(tmp, name, extra):
+    cmd = [sys.executable, "-u", "train.py"] + BASE + [
+        "--checkpoints_dir", str(tmp), "--name", name
+    ] + extra
+    p = subprocess.run(
+        cmd, cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+        capture_output=True, text=True, timeout=420, env=ENV,
+    )
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
+    return p.stdout
+
+
+def test_spatial_train_cli(tmp_path):
+    out = _train(tmp_path, "sp4", ["--spatial_mesh", "4"])
+    assert "G_L1" in out and "End of epoch 1 / 1" in out
+    assert (tmp_path / "sp4" / "ckpt" / "epoch_1").is_dir()
+
+
+def test_spatial_plus_data_train_cli(tmp_path):
+    out = _train(
+        tmp_path, "sp2x4", ["--data_mesh", "2", "--spatial_mesh", "4"]
+    )
+    assert "G_L1" in out and "End of epoch 1 / 1" in out
+    assert (tmp_path / "sp2x4" / "ckpt" / "epoch_1").is_dir()

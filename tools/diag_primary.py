@@ -83,6 +83,27 @@ def run(tag: str, no_dropout: bool, scan_k: int):
                       "scan_k": scan_k, "no_dropout": no_dropout}), flush=True)
 
 
+def patch_remat():
+    """Experiment: rematerialize every net forward (jax.checkpoint,
+    nothing_saveable) — trades fwd recompute FLOPs (~free at 21% MFU) for
+    not storing fwd activations (the step is HBM-bound)."""
+    import biasgan_tpu.models.common as common
+    import biasgan_tpu.models.pix2pix as p2p
+
+    orig = common.apply_net
+
+    def apply_net_remat(module, variables, x, train, rngs=None, ctx=None):
+        def f(variables, x, rngs):
+            return orig(module, variables, x, train, rngs, ctx)
+
+        return jax.checkpoint(
+            f, policy=jax.checkpoint_policies.nothing_saveable
+        )(variables, x, rngs)
+
+    common.apply_net = apply_net_remat
+    p2p.apply_net = apply_net_remat
+
+
 for v in variants:
     if v == "base" or v == "rbg":
         run(v, no_dropout=False, scan_k=4)
@@ -90,3 +111,6 @@ for v in variants:
         run(v, no_dropout=True, scan_k=4)
     elif v == "noscan":
         run(v, no_dropout=False, scan_k=1)
+    elif v == "remat":
+        patch_remat()
+        run(v, no_dropout=False, scan_k=4)

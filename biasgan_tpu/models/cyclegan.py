@@ -120,13 +120,27 @@ def create_state(cfg, rng: Array) -> GANTrainState:
 
 def make_train_step(
     cfg,
-    axis_name: Optional[str] = None,
+    axis_name=None,
     fuse_g: Optional[bool] = None,
     debug_grads: bool = False,
+    ctx=None,
 ):
     """Build the jitted CycleGAN step. ``debug_grads`` adds the raw G/D
     gradient pytrees to the visuals dict (fused-vs-unfused equivalence
-    tests; never used in training)."""
+    tests; never used in training).
+
+    ``axis_name`` may be a mesh axis or tuple of axes ('data', 'spatial');
+    ``ctx`` is a HaloCtx when the W axis is sharded (spatial training): the
+    Gs run halo-exchanged and sharded, PatchGAN Ds on the all-gathered field
+    (their stride-1 4x4 convs shrink W — see models/pix2pix.py), and the
+    replay pools hold W-SHARDED fakes (pool queries act on the batch axis
+    only, so sharded pool state composes transparently;
+    parallel/spatial.py::spatial_train_step shards their specs)."""
+    if ctx is not None and cfg.norm == "batch":
+        raise NotImplementedError(
+            "spatially-sharded training with batch norm is out of scope "
+            "(cross-shard batch stats; use --norm instance)"
+        )
     gs, ds = build_nets(cfg)
     G_A, G_B, D_A, D_B = gs["G_A"], gs["G_B"], ds["D_A"], ds["D_B"]
     tx_g = adam_transform(cfg.beta1)
@@ -160,16 +174,38 @@ def make_train_step(
         # the pools are REPLICATED state (out_specs P()), so every shard must
         # apply the identical pool update (see the D-step pool block below).
         rng_pool_a, rng_pool_b, rng_local = jax.random.split(rng, 3)
-        if axis_name is not None:
+        names = () if axis_name is None else (
+            (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+        )
+        if "data" in names:
+            # per-data-shard dropout; spatial shards share one rng (slices
+            # of the SAME fields)
             rng_local = jax.random.fold_in(
-                rng_local, jax.lax.axis_index(axis_name)
+                rng_local, jax.lax.axis_index("data")
             )
         rng_drop, rng_aug = jax.random.split(rng_local)
-        batch = prepare_batch(batch, rng_aug, cfg, train=True)
+        batch = prepare_batch(
+            batch, rng_aug, cfg, train=True, skip_aug=ctx is not None
+        )
         real_A, real_B = resolve_direction(batch, cfg.direction)
         nets = state.nets
         drop = {"dropout": rng_drop}
         lr = lr_fn(state.step, state.lr_scale)
+
+        # Under spatial sharding the Gs stay sharded; PatchGAN Ds see the
+        # all-gathered W (their final stride-1 convs shrink W by 1 — cannot
+        # shard uniformly; same design + gradient-factor analysis as
+        # models/pix2pix.py). 1x1 'pixel' Ds stay fully sharded.
+        d_ctx = ctx
+        gather_w = None
+        if ctx is not None and cfg.netD != "pixel":
+            d_ctx = None
+
+            def gather_w(t):
+                return jax.lax.all_gather(t, ctx.axis, axis=2, tiled=True)
+
+        def for_d(t):
+            return gather_w(t) if gather_w is not None else t
 
         # ---- G update (first, reference order; Ds constant) ----
         def g_forwards(gva, gvb):
@@ -180,23 +216,23 @@ def make_train_step(
                 in1 = (
                     jnp.concatenate([real_A, real_B]) if lam_idt > 0 else real_A
                 )
-                out1, gva = apply_net(G_A, gva, in1, True, drop)
+                out1, gva = apply_net(G_A, gva, in1, True, drop, ctx)
                 fake_B = out1[:b]
                 idt_A = out1[b:] if lam_idt > 0 else None
                 in2 = [real_B, fake_B] + ([real_A] if lam_idt > 0 else [])
-                out2, gvb = apply_net(G_B, gvb, jnp.concatenate(in2), True, drop)
+                out2, gvb = apply_net(G_B, gvb, jnp.concatenate(in2), True, drop, ctx)
                 fake_A, rec_A = out2[:b], out2[b : 2 * b]
                 idt_B = out2[2 * b :] if lam_idt > 0 else None
-                rec_B, gva = apply_net(G_A, gva, fake_A, True, drop)
+                rec_B, gva = apply_net(G_A, gva, fake_A, True, drop, ctx)
             else:
-                fake_B, gva = apply_net(G_A, gva, real_A, True, drop)
-                rec_A, gvb = apply_net(G_B, gvb, fake_B, True, drop)
-                fake_A, gvb = apply_net(G_B, gvb, real_B, True, drop)
-                rec_B, gva = apply_net(G_A, gva, fake_A, True, drop)
+                fake_B, gva = apply_net(G_A, gva, real_A, True, drop, ctx)
+                rec_A, gvb = apply_net(G_B, gvb, fake_B, True, drop, ctx)
+                fake_A, gvb = apply_net(G_B, gvb, real_B, True, drop, ctx)
+                rec_B, gva = apply_net(G_A, gva, fake_A, True, drop, ctx)
                 idt_A = idt_B = None
                 if lam_idt > 0:
-                    idt_A, gva = apply_net(G_A, gva, real_B, True, drop)
-                    idt_B, gvb = apply_net(G_B, gvb, real_A, True, drop)
+                    idt_A, gva = apply_net(G_A, gva, real_B, True, drop, ctx)
+                    idt_B, gvb = apply_net(G_B, gvb, real_A, True, drop, ctx)
             return fake_B, rec_A, fake_A, rec_B, idt_A, idt_B, gva, gvb
 
         def g_loss_fn(g_params):
@@ -210,8 +246,8 @@ def make_train_step(
                 loss_idt_B = losses.l1_loss(idt_B, real_A) * lam_A * lam_idt
             else:
                 loss_idt_A = loss_idt_B = jnp.zeros(())
-            pred_a, _ = apply_net(D_A, nets["D_A"], fake_B, True)
-            pred_b, _ = apply_net(D_B, nets["D_B"], fake_A, True)
+            pred_a, _ = apply_net(D_A, nets["D_A"], for_d(fake_B), True, ctx=d_ctx)
+            pred_b, _ = apply_net(D_B, nets["D_B"], for_d(fake_A), True, ctx=d_ctx)
             loss_G_A = losses.gan_loss(pred_a, True, gan_mode)
             loss_G_B = losses.gan_loss(pred_b, True, gan_mode)
             loss_cycle_A = losses.l1_loss(rec_A, real_A) * lam_A
@@ -248,14 +284,20 @@ def make_train_step(
         pools = dict(state.pools)
         if use_pool:
 
+            # the gather/scatter rides the DATA axis only: across spatial
+            # shards the pool is W-SHARDED state (each shard stores its own
+            # W slice of every pooled fake — queries index the batch axis,
+            # identical on every spatial shard via the shared pool rng)
+            data_axis = "data" if "data" in names else None
+
             def query(pool, fake, prng):
-                if axis_name is None:
+                if data_axis is None:
                     return pool_query(pool, fake, prng)
                 b_local = fake.shape[0]
-                fake_g = jax.lax.all_gather(fake, axis_name)  # (n, B_l, ...)
+                fake_g = jax.lax.all_gather(fake, data_axis)  # (n, B_l, ...)
                 fake_g = fake_g.reshape((-1,) + fake.shape[1:])
                 pool, out_g = pool_query(pool, fake_g, prng)
-                me = jax.lax.axis_index(axis_name)
+                me = jax.lax.axis_index(data_axis)
                 out = jax.lax.dynamic_slice_in_dim(
                     out_g, me * b_local, b_local, axis=0
                 )
@@ -270,12 +312,15 @@ def make_train_step(
         def d_pair(D, dv, real, fake):
             """0.5 * (GAN(D(real), true) + GAN(D(fake), false)); one fused
             2B pass when the norm allows it."""
+            real, fake = for_d(real), for_d(fake)
             if fuse_d:
-                pred, dv = apply_net(D, dv, jnp.concatenate([real, fake]), True)
+                pred, dv = apply_net(
+                    D, dv, jnp.concatenate([real, fake]), True, ctx=d_ctx
+                )
                 pr, pf = jnp.split(pred, 2)
             else:
-                pr, dv = apply_net(D, dv, real, True)
-                pf, dv = apply_net(D, dv, fake, True)
+                pr, dv = apply_net(D, dv, real, True, ctx=d_ctx)
+                pf, dv = apply_net(D, dv, fake, True, ctx=d_ctx)
             loss = 0.5 * (
                 losses.gan_loss(pr, True, gan_mode)
                 + losses.gan_loss(pf, False, gan_mode)
@@ -385,13 +430,7 @@ class CycleGANModel(base.BaseModel):
         return create_state(self.cfg, rng)
 
     def _make_train_step(self, axis_name, ctx=None):
-        if ctx is not None:
-            raise NotImplementedError(
-                "spatially-sharded CycleGAN training is not wired up yet "
-                "(replay pools hold whole fields); use pix2pix/paired or "
-                "--spatial_mesh 1"
-            )
-        return make_train_step(self.cfg, axis_name)
+        return make_train_step(self.cfg, axis_name, ctx=ctx)
 
     def _make_eval_fn(self):
         return make_eval_fn(self.cfg)

@@ -154,6 +154,22 @@ def spatial_train_step(train_step, mesh: Mesh, cfg=None):
     def wrapped(state, batch, rng):
         return train_step(state, batch, rng)
 
+    def _state_specs(state):
+        """Params/opts/step replicate; replay-pool field buffers (rank>=4,
+        e.g. CycleGAN's (pool_size, H, W, C) fakes) shard their W axis like
+        the batch — the pool is a pytree of the SAME sharded fields."""
+        specs = jax.tree_util.tree_map(lambda _: P(), state)
+        pools = getattr(state, "pools", None)
+        if pools:
+            pool_specs = jax.tree_util.tree_map(
+                lambda l: P(None, None, "spatial", None)
+                if getattr(l, "ndim", 0) >= 4
+                else P(),
+                pools,
+            )
+            specs = specs.replace(pools=pool_specs)
+        return specs
+
     def call(state, batch, rng):
         if aug:
             from biasgan_tpu.data.transforms import in_graph_augment
@@ -168,8 +184,9 @@ def spatial_train_step(train_step, mesh: Mesh, cfg=None):
                 flip=not getattr(cfg, "no_flip", False),
                 lon_roll=getattr(cfg, "aug_lon_roll", False),
             )
+        st_spec = _state_specs(state)
         in_specs = (
-            P(),
+            st_spec,
             {k: _batch_leaf_spec(v, data) for k, v in batch.items()},
             P(),
         )
@@ -178,7 +195,7 @@ def spatial_train_step(train_step, mesh: Mesh, cfg=None):
             wrapped,
             mesh=mesh,
             in_specs=in_specs,
-            out_specs=(P(), P(), vis_spec),
+            out_specs=(st_spec, P(), vis_spec),
             check_vma=False,
         )(state, batch, rng)
 

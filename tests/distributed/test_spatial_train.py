@@ -143,6 +143,56 @@ def test_spatial_train_composes_with_data_parallel():
     _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
 
 
+def test_spatial_cyclegan_with_pools_equals_single_device():
+    """CycleGAN under spatial sharding: Gs halo-exchanged, Ds gathered, and
+    the replay pools carried as W-SHARDED state — two steps must match the
+    single-device run (losses tight, params scale-aware, pools exact)."""
+    from biasgan_tpu.models.cyclegan import (
+        create_state as cg_state,
+        make_train_step as cg_step,
+    )
+
+    cfg = parse_config(
+        [
+            "--model", "cycle_gan", "--dataset_mode", "synthetic",
+            "--netG", "resnet_3blocks", "--norm", "instance", "--no_dropout",
+            "--netD", "basic", "--gan_mode", "lsgan", "--pool_size", "4",
+            "--w_pad_mode", "wrap", "--crop_size", "32",
+            "--input_nc", "1", "--output_nc", "1", "--batch_size", "2",
+            "--ngf", "8", "--ndf", "8",
+            "--checkpoints_dir", "/tmp/bgt_sp_cg", "--name", "spcg",
+        ],
+        train=True,
+    )
+    cfg.in_graph_aug = False
+    cfg.steps_per_epoch = 10
+    a = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 1))
+    batch = {"A": a, "B": jnp.tanh(a)}
+    rng = jax.random.PRNGKey(6)
+
+    single = jax.jit(cg_step(cfg))
+    s_ref = cg_state(cfg, jax.random.PRNGKey(0))
+    s_ref, l_ref, _ = single(s_ref, batch, rng)
+    s_ref, l_ref, _ = single(s_ref, batch, rng)
+
+    mesh = make_mesh(data=1, spatial=4)
+    ctx = HaloCtx("spatial", 4, periodic=True)
+    step = jax.jit(
+        spatial_train_step(cg_step(cfg, "spatial", ctx=ctx), mesh, cfg)
+    )
+    s_sp = cg_state(cfg, jax.random.PRNGKey(0))
+    s_sp, l_sp, _ = step(s_sp, shard_batch_spatial(batch, mesh), rng)
+    s_sp, l_sp, _ = step(s_sp, shard_batch_spatial(batch, mesh), rng)
+
+    for k in l_ref:
+        np.testing.assert_allclose(
+            float(l_sp[k]), float(l_ref[k]), rtol=5e-4, atol=5e-4
+        ), k
+    _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
+    # pool buffers hold FIELDS (not Adam-noise-amplified params): exact
+    _trees_close(s_sp.pools, s_ref.pools, rtol=5e-4, atol=5e-4)
+
+
 def test_spatial_train_guards():
     cfg = _cfg()
     ctx = HaloCtx("spatial", 4, periodic=False)

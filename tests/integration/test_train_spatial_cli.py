@@ -42,6 +42,25 @@ def test_spatial_train_cli(tmp_path):
     assert (tmp_path / "sp4" / "ckpt" / "epoch_1").is_dir()
 
 
+def test_spatial_cyclegan_cli(tmp_path):
+    cmd = [sys.executable, "-u", "train.py",
+           "--model", "cycle_gan", "--dataset_mode", "synthetic",
+           "--netG", "resnet_3blocks", "--norm", "instance", "--no_dropout",
+           "--netD", "basic", "--gan_mode", "lsgan", "--pool_size", "4",
+           "--w_pad_mode", "wrap", "--crop_size", "32",
+           "--input_nc", "1", "--output_nc", "1", "--batch_size", "4",
+           "--ngf", "8", "--ndf", "8", "--synthetic_samples", "8",
+           "--print_freq", "4", "--n_epochs", "1", "--n_epochs_decay", "0",
+           "--save_epoch_freq", "1", "--spatial_mesh", "4",
+           "--checkpoints_dir", str(tmp_path), "--name", "cgsp"]
+    p = subprocess.run(
+        cmd, cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+        capture_output=True, text=True, timeout=420, env=ENV,
+    )
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
+    assert "cycle_A" in p.stdout and "End of epoch 1 / 1" in p.stdout
+
+
 def test_spatial_plus_data_train_cli(tmp_path):
     out = _train(
         tmp_path, "sp2x4", ["--data_mesh", "2", "--spatial_mesh", "4"]

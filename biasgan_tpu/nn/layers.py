@@ -148,11 +148,22 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 # kernel is just the original scattered at f*f offsets).
 import os as _os
 
-_S2D_MAX_COUT = int(_os.environ.get("BIASGAN_S2D_MAX_COUT", "8"))
+def _S2D_MAX_COUT() -> int:
+    # read live (trace-time only, not per-op): tests force the gates open on
+    # small shapes via env to keep the restructured paths exercised
+    return int(_os.environ.get("BIASGAN_S2D_MAX_COUT", "8"))
 
 
-def _s2d_factor(cout: int, out_h: int, out_w: int) -> int:
-    if cout > _S2D_MAX_COUT:
+def _S2D_MIN_M() -> int:
+    # Below this GEMM row count (M = N*out_h*out_w) the restructuring's
+    # extra ops cost more latency than the lane win pays back: measured 188
+    # vs 358 samples/s on the 64^2 b4 tiny config (latency-bound), +8% on
+    # CycleGAN 256^2 b8 (M=524k), neutral at b128. 64k splits the regimes.
+    return int(_os.environ.get("BIASGAN_S2D_MIN_M", "65536"))
+
+
+def _s2d_factor(cout: int, out_h: int, out_w: int, n: int = 1 << 30) -> int:
+    if cout > _S2D_MAX_COUT() or n * out_h * out_w < _S2D_MIN_M():
         return 1
     for f in (8, 4, 2):
         # keep the widened channel axis at/below one 128-lane register
@@ -236,7 +247,7 @@ def _conv_tiny_cin_bwd(stride, res, g):
     # dilation and full-padding stay virtual inside the one conv call
     kt = kernel[::-1, ::-1].transpose(0, 1, 3, 2).astype(g.dtype)
     pad = ((kh - 1, kh - 1 + dh), (kw - 1, kw - 1 + dw))
-    f = _s2d_factor(cin, xp.shape[1], xp.shape[2])
+    f = _s2d_factor(cin, xp.shape[1], xp.shape[2], xp.shape[0])
     if f > 1:
         dx = _conv_s2d(g, kt, f, lhs_dilation=(sh, sw), padding=pad)
     else:
@@ -290,11 +301,16 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
-    f = _s2d_factor(kernel.shape[-1], out_h, out_w_local) if stride == (1, 1) else 1
+    f = (
+        _s2d_factor(kernel.shape[-1], out_h, out_w_local, x.shape[0])
+        if stride == (1, 1)
+        else 1
+    )
     if f > 1:
         y = _conv_s2d(x, kernel, f)
     elif (
-        kernel.shape[2] <= _S2D_MAX_COUT
+        kernel.shape[2] <= _S2D_MAX_COUT()
+        and x.shape[0] * out_h * out_w_local >= _S2D_MIN_M()
         and not _os.environ.get("BIASGAN_NO_TINY_CIN_VJP")
     ):
         y = _conv_tiny_cin(x, kernel, stride)
@@ -347,7 +363,7 @@ def conv_transpose2d(
     if ctx is None and w_mode != "wrap":
         out_h = (x.shape[1] - 1) * sh - 2 * ph + kh + oph
         out_w = (x.shape[2] - 1) * sw - 2 * pw + kw + opw
-        f = _s2d_factor(kernel.shape[-1], out_h, out_w)
+        f = _s2d_factor(kernel.shape[-1], out_h, out_w, x.shape[0])
         if f > 1:
             # tiny-output-channel transpose (e.g. the U-Net's final
             # 4x4 s2 ->output_nc upconv): space-to-depth restructured conv

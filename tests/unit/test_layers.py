@@ -78,6 +78,14 @@ def test_conv_transpose_matches_manual_dilation():
 # ---------------------------------------------------------------------------
 
 
+@pytest.fixture(autouse=True)
+def _force_restructured_convs(monkeypatch):
+    """The M >= 64k gate routes small test shapes to the plain path; force
+    it open here so the s2d / tiny-cin exactness tests keep exercising the
+    restructured kernels (the gates are read live at trace time)."""
+    monkeypatch.setenv("BIASGAN_S2D_MIN_M", "1")
+
+
 def _plain_conv(x, kern, stride, pad):
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     return jax.lax.conv_general_dilated(

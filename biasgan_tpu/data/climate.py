@@ -75,6 +75,7 @@ class _Side:
         self.mean, self.std = stats_mod.stats_arrays(st, self.variables)
         self._index: List[Tuple[int, int]] = []  # (file_idx, time_idx)
         self._handles: Dict[int, object] = {}
+        self._dsets: Dict[Tuple[int, str], object] = {}
         # the threaded DataLoader (--num_threads) hits _file concurrently;
         # serialize the check-then-open (h5py reads themselves hold h5py's
         # global lock, so the handle cache is the only race)
@@ -100,6 +101,43 @@ class _Side:
                 self._handles[fi] = ncio.open_field_file(self.files[fi])
             return self._handles[fi]
 
+    def _dataset(self, fi: int, v: str):
+        """Per-(file, variable) read accessor, cached.
+
+        Fast path: CONTIGUOUS uncompressed HDF5 datasets are re-exposed as a
+        read-only ``np.memmap`` — h5py's hyperslab machinery costs ~1 ms per
+        read call (it dominated the loader profile at 59 samples/s
+        single-thread; 768 h5py reads per 128 samples), while memmap slicing
+        off the page cache is microseconds. Chunked/compressed datasets (and
+        netCDF-3, which scipy already mmaps) keep their handle."""
+        key = (fi, v)
+        with self._handles_lock:
+            ds = self._dsets.get(key)
+        if ds is not None:
+            return ds
+        f = self._file(fi)
+        ds = f[v]
+        try:
+            import h5py
+
+            if (
+                isinstance(ds, h5py.Dataset)
+                and ds.chunks is None
+                and ds.compression is None
+                and ds.dtype.kind in "fiu"
+            ):
+                off = ds.id.get_offset()
+                if off is not None:
+                    ds = np.memmap(
+                        self.files[fi], dtype=ds.dtype, mode="r",
+                        offset=off, shape=ds.shape,
+                    )
+        except Exception:
+            pass  # any surprise -> the always-correct handle path
+        with self._handles_lock:
+            self._dsets[key] = ds
+        return ds
+
     def close(self) -> None:
         with self._handles_lock:
             for h in self._handles.values():
@@ -108,6 +146,7 @@ class _Side:
                 except Exception:
                     pass
             self._handles.clear()
+            self._dsets.clear()
 
     def __del__(self):  # best-effort handle cleanup
         try:
@@ -126,10 +165,9 @@ class _Side:
         """Read (H, W, C) raw field; window=(y, x, h, w) slab with periodic
         wraparound on the longitude (last) axis."""
         fi, ti = self._index[index % len(self._index)]
-        f = self._file(fi)
         chans = []
         for v in self.variables:
-            ds = f[v]
+            ds = self._dataset(fi, v)
             H, W = ds.shape[-2:]
             if window is None:
                 arr = ds[ti] if ds.ndim == 3 else ds[...]

@@ -134,6 +134,42 @@ def test_tiny_channel_conv_value_and_grads_match_plain(cin, cout, k, s, p, hw):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(pk), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize(
+    "cin,cout,k,s,p,op,hw",
+    [
+        (16, 8, 4, 2, 1, 0, 16),   # unet up conv
+        (16, 12, 3, 2, 1, 1, 16),  # resnet up conv (output_padding 1)
+        (8, 16, 4, 2, 1, 0, 15),   # odd input size
+        (8, 8, 5, 3, 2, 0, 12),    # stride 3
+        (8, 8, 2, 2, 0, 0, 16),    # k == s (pure depth-to-space)
+    ],
+)
+def test_convt_d2s_matches_dilated_form(cin, cout, k, s, p, op, hw):
+    """The phase-decomposed transposed conv (depth-to-space restructuring)
+    must equal the lhs_dilation form exactly, values and grads."""
+    from biasgan_tpu.nn.layers import conv_transpose2d
+
+    x = _rand(0, (2, hw, hw, cin))
+    kern = 0.1 * _rand(1, (k, k, cin, cout))
+
+    def run(x, kern):
+        return conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op))
+
+    import os
+
+    os.environ["BIASGAN_CONVT_D2S"] = "0"
+    try:
+        ref = run(x, kern)
+        gr = jax.grad(lambda a, b: jnp.sum(jnp.sin(run(a, b))), (0, 1))(x, kern)
+    finally:
+        os.environ.pop("BIASGAN_CONVT_D2S", None)
+    got = run(x, kern)
+    gg = jax.grad(lambda a, b: jnp.sum(jnp.sin(run(a, b))), (0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    for a, b in zip(gg, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
 def test_tiny_channel_conv_under_vmap_and_bf16():
     """The custom-VJP path must compose with vmap (scan device loop) and
     bfloat16 compute."""

@@ -381,11 +381,21 @@ def _convt_d2s(
         xp, wz, (1, 1), "VALID", dimension_numbers=_DIMS
     )
     n = x.shape[0]
+    ds_h = [d for _, d in ph_h]
+    ds_w = [d for _, d in ph_w]
+    if len(set(ds_h)) == 1 and len(set(ds_w)) == 1:
+        # all phases share one alignment (e.g. resnet k3 s2 p1 op1): one
+        # static slice + reshape, no per-phase copies
+        y = y[:, ds_h[0] + plh : ds_h[0] + plh + Th,
+              ds_w[0] + plw : ds_w[0] + plw + Tw, :]
+        out = y.reshape(n, Th, Tw, sh, sw, cout).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(n, Th * sh, Tw * sw, cout)
+        return out[:, :out_h, :out_w, :]
     # per-phase alignment slice, then (sh, sw) interleave
     rows = []
-    for rh, (_, dh) in enumerate(ph_h):
+    for rh, dh in enumerate(ds_h):
         cols = []
-        for rw, (_, dw) in enumerate(ph_w):
+        for rw, dw in enumerate(ds_w):
             o = (rh * sw + rw) * cout
             blk = jax.lax.dynamic_slice(
                 y, (0, dh + plh, dw + plw, o), (n, Th, Tw, cout)

@@ -143,6 +143,40 @@ def test_spatial_train_composes_with_data_parallel():
     _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
 
 
+def test_spatial_train_with_in_graph_aug_equals_single_device():
+    """With --in_graph_aug, spatial_train_step applies the W-flip/lon-roll
+    GLOBALLY outside the shard_map (GSPMD partitions it). For pix2pix with
+    no data axis it derives the same rng_aug stream as the in-step aug
+    (split(rng, 3)[2]), so the aug-enabled spatial run must match the
+    single-device run draw for draw."""
+    cfg = _parse(["--w_pad_mode", "wrap", "--aug_lon_roll"])
+    assert cfg.in_graph_aug  # synthetic dataset defaults it on
+    cfg.steps_per_epoch = 10
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(3)
+
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+    single = jax.jit(make_train_step(cfg))
+    s_ref, l_ref, v_ref = single(state0, batch, rng)
+
+    mesh = make_mesh(data=1, spatial=4)
+    ctx = HaloCtx("spatial", 4, periodic=True)
+    step = jax.jit(
+        spatial_train_step(make_train_step(cfg, "spatial", ctx=ctx), mesh, cfg)
+    )
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    s_sp, l_sp, v_sp = step(state, shard_batch_spatial(batch, mesh), rng)
+
+    for k in l_ref:
+        np.testing.assert_allclose(
+            float(l_sp[k]), float(l_ref[k]), rtol=3e-4, atol=3e-4
+        ), k
+    np.testing.assert_allclose(
+        np.asarray(v_sp["fake_B"]), np.asarray(v_ref["fake_B"]),
+        rtol=5e-4, atol=5e-4,
+    )
+
+
 def test_spatial_cyclegan_with_pools_equals_single_device():
     """CycleGAN under spatial sharding: Gs halo-exchanged, Ds gathered, and
     the replay pools carried as W-SHARDED state — two steps must match the

@@ -28,12 +28,13 @@ class _NC3Dataset:
         import numpy as np
 
         # copy out of the mmap so handles can close independently of arrays
-        return np.asarray(self._var[idx])
+        # (np.asarray on a view is a no-op; force the copy)
+        return np.array(self._var[idx], copy=True)
 
     def __array__(self, dtype=None):
         import numpy as np
 
-        a = np.asarray(self._var[...])
+        a = np.array(self._var[...], copy=True)
         return a.astype(dtype) if dtype is not None else a
 
 

@@ -311,7 +311,7 @@ def conv2d(
     elif (
         kernel.shape[2] <= _S2D_MAX_COUT()
         and x.shape[0] * out_h * out_w_local >= _S2D_MIN_M()
-        and not _os.environ.get("BIASGAN_NO_TINY_CIN_VJP")
+        and _os.environ.get("BIASGAN_NO_TINY_CIN_VJP", "0") == "0"
     ):
         y = _conv_tiny_cin(x, kernel, stride)
     else:

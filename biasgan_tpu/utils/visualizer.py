@@ -85,10 +85,12 @@ class Visualizer:
         first = labels[0] if labels else None
         for fname in os.listdir(img_dir):
             if first and fname.startswith("epoch") and fname.endswith(f"_{first}.png"):
-                try:
-                    e = int(fname[5:8])
-                except ValueError:
+                import re
+
+                m = re.match(r"epoch(\d+)_", fname)
+                if not m:
                     continue
+                e = int(m.group(1))
                 rows[e] = self._render_row(e, labels)
         return rows
 

@@ -144,9 +144,12 @@ def test_tiny_channel_conv_value_and_grads_match_plain(cin, cout, k, s, p, hw):
         (8, 8, 2, 2, 0, 0, 16),    # k == s (pure depth-to-space)
     ],
 )
-def test_convt_d2s_matches_dilated_form(cin, cout, k, s, p, op, hw):
-    """The phase-decomposed transposed conv (depth-to-space restructuring)
-    must equal the lhs_dilation form exactly, values and grads."""
+def test_convt_d2s_matches_dilated_form(cin, cout, k, s, p, op, hw, monkeypatch):
+    """The phase-decomposed transposed conv (depth-to-space restructuring,
+    BIASGAN_CONVT_D2S=1) must equal the lhs_dilation form exactly, values
+    and grads. The d2s path is asserted to actually engage (it is opt-in and
+    would otherwise silently compare the plain path against itself)."""
+    from biasgan_tpu.nn import layers
     from biasgan_tpu.nn.layers import conv_transpose2d
 
     x = _rand(0, (2, hw, hw, cin))
@@ -155,16 +158,21 @@ def test_convt_d2s_matches_dilated_form(cin, cout, k, s, p, op, hw):
     def run(x, kern):
         return conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op))
 
-    import os
+    # the tiny-cout s2d branch would otherwise shadow d2s for cout <= 8
+    monkeypatch.setenv("BIASGAN_S2D_MAX_COUT", "0")
+    monkeypatch.setenv("BIASGAN_CONVT_D2S", "0")
+    ref = run(x, kern)
+    gr = jax.grad(lambda a, b: jnp.sum(jnp.sin(run(a, b))), (0, 1))(x, kern)
 
-    os.environ["BIASGAN_CONVT_D2S"] = "0"
-    try:
-        ref = run(x, kern)
-        gr = jax.grad(lambda a, b: jnp.sum(jnp.sin(run(a, b))), (0, 1))(x, kern)
-    finally:
-        os.environ.pop("BIASGAN_CONVT_D2S", None)
+    calls = []
+    orig = layers._convt_d2s
+    monkeypatch.setattr(
+        layers, "_convt_d2s", lambda *a, **kw: calls.append(1) or orig(*a, **kw)
+    )
+    monkeypatch.setenv("BIASGAN_CONVT_D2S", "1")
     got = run(x, kern)
     gg = jax.grad(lambda a, b: jnp.sum(jnp.sin(run(a, b))), (0, 1))(x, kern)
+    assert calls, "d2s path did not engage; the comparison would be vacuous"
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
     for a, b in zip(gg, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)

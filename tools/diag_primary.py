@@ -27,9 +27,9 @@ variants = (sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
 
 import jax
 
-if "rbg" in variants and variants[0] == "rbg":
-    # PRNG impl must be set before any key creation; run one variant per
-    # process for rbg (the compile cache makes repeat runs cheap)
+if "rbg" in variants:
+    # PRNG impl must be set before any key creation, so it applies to EVERY
+    # variant in this invocation — run rbg alone for a clean A/B
     jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp

@@ -123,11 +123,17 @@ def main(argv=None):
             model.save_networks(f"epoch_{epoch}")
 
         # plateau policy needs a tracked metric (torch ReduceLROnPlateau
-        # semantics); feed it end-of-epoch validation RMSE on the last batch
+        # semantics): RMSE of an EVAL-mode forward (no dropout, no aug) on
+        # the last batch — train-mode visuals would track dropout noise and
+        # one lucky batch could pin _plateau_best forever
         metric = None
         if cfg.lr_policy == "plateau":
+            model.test()  # deterministic eval-mode forward on current batch
             m = model.compute_validation_metrics()
             metric = m.get("rmse") if m else None
+            if metric is None:
+                print("warning: plateau policy found no rmse metric; "
+                      "lr will not decay this epoch")
         lr = model.update_learning_rate(metric)
         print(
             f"End of epoch {epoch} / {cfg.n_epochs + cfg.n_epochs_decay} \t "

@@ -205,3 +205,47 @@ def test_netcdf3_classic_fallback(tmp_path):
         wrapped[:, :3, 0], direct[:8, W - 3 :, 0]
     )
     np.testing.assert_array_equal(wrapped[:, 3:, 0], direct[:8, :5, 0])
+
+
+def test_memmap_fast_path_equals_h5py_chunked(tmp_path):
+    """Contiguous datasets take the np.memmap fast path; chunked/compressed
+    ones keep the h5py handle. Both must read identical windows (incl. the
+    dateline wraparound)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(11)
+    field = rng.normal(0.0, 1.0, (T, H, W)).astype(_np.float32)
+    for name, kw in (("contig", {}), ("chunked", {"chunks": (1, H, W), "compression": "gzip"})):
+        d = tmp_path / name / "trainA"
+        d.mkdir(parents=True)
+        with h5py.File(d / "f.h5", "w") as f:
+            f.create_dataset("t2m", data=field, **kw)
+        # paired layout needs a B side
+        db = tmp_path / name / "trainB"
+        db.mkdir()
+        with h5py.File(db / "f.h5", "w") as f:
+            f.create_dataset("t2m", data=field + 1.0, **kw)
+
+    def side(name):
+        from biasgan_tpu.registry import get_dataset
+
+        cfg = parse_config(
+            [
+                "--model", "pix2pix", "--dataset_mode", "climate",
+                "--dataroot", str(tmp_path / name), "--phase", "train",
+                "--input_nc", "1", "--output_nc", "1", "--crop_size", "8",
+                "--batch_size", "1",
+                "--checkpoints_dir", str(tmp_path / name / "ck"),
+            ],
+            train=True,
+        )
+        return get_dataset("climate")(cfg).A
+
+    a_contig, a_chunk = side("contig"), side("chunked")
+    # fast path engaged only for the contiguous store
+    assert isinstance(a_contig._dataset(0, "t2m"), _np.memmap)
+    assert not isinstance(a_chunk._dataset(0, "t2m"), _np.memmap)
+    for window in (None, (2, 5, 8, 8), (0, W - 3, 8, 8)):
+        _np.testing.assert_array_equal(
+            a_contig.read(1, window), a_chunk.read(1, window)
+        )

@@ -35,7 +35,19 @@ class BaseModel:
 
     def __init__(self, cfg):
         self.cfg = cfg
-        self.is_train = cfg.phase == "train"
+        # The reference's isTrain comes from WHICH options class parsed the
+        # CLI (TrainOptions vs TestOptions), NOT from --phase: `test.py
+        # --phase train` legitimately applies G to the training split. Use
+        # the config class when available, falling back to phase for
+        # hand-built duck-typed configs.
+        from biasgan_tpu.config import TestConfig, TrainConfig
+
+        if isinstance(cfg, TrainConfig):
+            self.is_train = True
+        elif isinstance(cfg, TestConfig):
+            self.is_train = False
+        else:
+            self.is_train = cfg.phase == "train"
         self.run_dir = cfg.run_dir()
         os.makedirs(self.run_dir, exist_ok=True)
         self._rng = jax.random.PRNGKey(cfg.seed)

@@ -132,9 +132,17 @@ def has_checkpoint(run_dir: str, tag: str) -> bool:
 
 
 def abstract_like(state):
-    """ShapeDtypeStruct skeleton of a state pytree (for restore)."""
+    """ShapeDtypeStruct skeleton of a state pytree (for restore).
+
+    Each leaf carries a concrete SingleDeviceSharding for THIS process's
+    default device: without it orbax falls back to the sharding file written
+    at save time, which names the saving topology — so a checkpoint written
+    on the TPU could not restore on a CPU host (or vice versa). States here
+    are replicated/single-device, so local placement is always right; jit
+    re-shards on first use under a mesh."""
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
         if hasattr(x, "shape")
         else x,
         state,

@@ -78,3 +78,40 @@ def test_wgangp_full_step(tmp_path):
         model.optimize_parameters()
     losses = model.get_current_losses()
     assert all(np.isfinite(v) for v in losses.values()), losses
+
+
+def test_phase_train_at_test_time_builds_no_train_step(tmp_path):
+    """Reference semantics: `test.py --phase train` applies G to the
+    TRAINING split. is_train must follow the config CLASS (TestConfig), not
+    the phase string — a test-parsed config with phase=train must not try
+    to build a train step (TestConfig has no optimizer fields)."""
+    from biasgan_tpu.config import parse_config
+    from biasgan_tpu.models import create_model
+
+    cfg = parse_config(
+        [
+            "--model", "pix2pix", "--dataset_mode", "synthetic",
+            "--netG", "unet_d4", "--crop_size", "32", "--input_nc", "1",
+            "--output_nc", "1", "--ngf", "8", "--ndf", "8",
+            "--phase", "train",
+            "--checkpoints_dir", str(tmp_path), "--name", "pt",
+        ],
+        train=False,
+    )
+    model = create_model(cfg)  # would raise AttributeError(beta1) before
+    assert not model.is_train
+    assert not hasattr(model, "_train_step")
+
+
+def test_abstract_like_pins_local_sharding():
+    """Restore skeletons carry a concrete local-device sharding so a
+    checkpoint saved on one backend (TPU) restores on another (CPU host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from biasgan_tpu.utils.checkpoint import abstract_like
+
+    sk = abstract_like({"w": jnp.zeros((2, 2)), "n": 3})
+    assert isinstance(sk["w"], jax.ShapeDtypeStruct)
+    assert isinstance(sk["w"].sharding, jax.sharding.SingleDeviceSharding)
+    assert sk["n"] == 3

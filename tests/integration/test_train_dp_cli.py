@@ -48,3 +48,25 @@ def test_dp_cli_with_scan(tmp_path):
     out = _train(tmp_path, "dp8scan", ["--steps_per_call", "2"])
     assert "G_L1" in out and "End of epoch 1 / 1" in out
     assert (tmp_path / "dp8scan" / "ckpt" / "epoch_1").is_dir()
+
+
+def test_plateau_with_scan_cli(tmp_path):
+    """--lr_policy plateau composes with --steps_per_call: the end-of-epoch
+    eval-mode metric forward must un-stack the (k, B, ...) scan batch."""
+    cmd = [sys.executable, "-u", "train.py"] + [
+        "--model", "pix2pix", "--dataset_mode", "synthetic",
+        "--netG", "unet_d4", "--crop_size", "32", "--input_nc", "1",
+        "--output_nc", "1", "--batch_size", "4", "--ngf", "8", "--ndf", "8",
+        "--norm", "instance", "--synthetic_samples", "16",
+        "--n_epochs", "1", "--n_epochs_decay", "0", "--print_freq", "8",
+        "--save_epoch_freq", "5", "--lr_policy", "plateau",
+        "--steps_per_call", "2",
+        "--checkpoints_dir", str(tmp_path), "--name", "plat",
+    ]
+    p = subprocess.run(
+        cmd, cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+        capture_output=True, text=True, timeout=420,
+        env=dict(os.environ, BIASGAN_PLATFORM="cpu"),
+    )
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-2000:]
+    assert "End of epoch 1 / 1" in p.stdout

@@ -128,7 +128,12 @@ def main(argv=None):
         # one lucky batch could pin _plateau_best forever
         metric = None
         if cfg.lr_policy == "plateau":
+            saved = model._batch
+            if model.steps_per_call > 1 and saved is not None:
+                # scan-stacked (k, B, ...) batches: eval on the last step's
+                model._batch = {k: v[-1] for k, v in saved.items()}
             model.test()  # deterministic eval-mode forward on current batch
+            model._batch = saved
             m = model.compute_validation_metrics()
             metric = m.get("rmse") if m else None
             if metric is None:

@@ -134,15 +134,21 @@ def has_checkpoint(run_dir: str, tag: str) -> bool:
 def abstract_like(state):
     """ShapeDtypeStruct skeleton of a state pytree (for restore).
 
-    Each leaf carries a concrete SingleDeviceSharding for THIS process's
-    default device: without it orbax falls back to the sharding file written
-    at save time, which names the saving topology — so a checkpoint written
-    on the TPU could not restore on a CPU host (or vice versa). States here
-    are replicated/single-device, so local placement is always right; jit
-    re-shards on first use under a mesh."""
-    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    Each leaf carries a concrete sharding: without one orbax falls back to
+    the sharding file written at save time, which names the SAVING topology
+    — a checkpoint written on the TPU could not restore on a CPU host. Use
+    the LIVE state leaf's own sharding when it has one (so sharded state —
+    e.g. W-sharded spatial-training pools — restores into the current
+    layout, not onto one device), falling back to this process's default
+    device for plain arrays."""
+    local = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def shard_of(x):
+        s = getattr(x, "sharding", None)
+        return s if isinstance(s, jax.sharding.Sharding) else local
+
     return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=shard_of(x))
         if hasattr(x, "shape")
         else x,
         state,

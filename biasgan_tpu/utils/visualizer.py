@@ -8,6 +8,7 @@ current visuals.
 from __future__ import annotations
 
 import os
+import re
 import time
 from typing import Dict
 
@@ -15,6 +16,8 @@ import numpy as np
 
 from biasgan_tpu.utils import html as html_mod
 from biasgan_tpu.utils.imaging import save_image, tensor2im
+
+_EPOCH_RE = re.compile(r"epoch(\d+)_")
 
 
 class Visualizer:
@@ -85,9 +88,7 @@ class Visualizer:
         first = labels[0] if labels else None
         for fname in os.listdir(img_dir):
             if first and fname.startswith("epoch") and fname.endswith(f"_{first}.png"):
-                import re
-
-                m = re.match(r"epoch(\d+)_", fname)
+                m = _EPOCH_RE.match(fname)
                 if not m:
                     continue
                 e = int(m.group(1))

@@ -96,8 +96,8 @@ def test_spatial_train_step_equals_single_device(w_pad):
 
     for k in l_ref:
         np.testing.assert_allclose(
-            float(l_sp[k]), float(l_ref[k]), rtol=3e-4, atol=3e-4
-        ), k
+            float(l_sp[k]), float(l_ref[k]), rtol=3e-4, atol=3e-4, err_msg=k
+        )
     _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
     # visuals reassemble to the full field
     np.testing.assert_allclose(
@@ -138,8 +138,8 @@ def test_spatial_train_composes_with_data_parallel():
     # aug, so grads must match exactly up to float tolerance.
     for k in l_ref:
         np.testing.assert_allclose(
-            float(l_sp[k]), float(l_ref[k]), rtol=5e-4, atol=5e-4
-        ), k
+            float(l_sp[k]), float(l_ref[k]), rtol=5e-4, atol=5e-4, err_msg=k
+        )
     _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
 
 
@@ -169,8 +169,8 @@ def test_spatial_train_with_in_graph_aug_equals_single_device():
 
     for k in l_ref:
         np.testing.assert_allclose(
-            float(l_sp[k]), float(l_ref[k]), rtol=3e-4, atol=3e-4
-        ), k
+            float(l_sp[k]), float(l_ref[k]), rtol=3e-4, atol=3e-4, err_msg=k
+        )
     np.testing.assert_allclose(
         np.asarray(v_sp["fake_B"]), np.asarray(v_ref["fake_B"]),
         rtol=5e-4, atol=5e-4,
@@ -220,8 +220,8 @@ def test_spatial_cyclegan_with_pools_equals_single_device():
 
     for k in l_ref:
         np.testing.assert_allclose(
-            float(l_sp[k]), float(l_ref[k]), rtol=5e-4, atol=5e-4
-        ), k
+            float(l_sp[k]), float(l_ref[k]), rtol=5e-4, atol=5e-4, err_msg=k
+        )
     _trees_close(s_sp.nets, s_ref.nets, rtol=0, atol=PARAM_ATOL)
     # pool buffers hold FIELDS (not Adam-noise-amplified params): exact
     _trees_close(s_sp.pools, s_ref.pools, rtol=5e-4, atol=5e-4)

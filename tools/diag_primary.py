@@ -23,13 +23,16 @@ import time
 sys.path.insert(0, ".")
 
 variants = (sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-    "VARIANTS", "base,rbg,nodrop,noscan")).split(",")
+    "VARIANTS", "base,nodrop,noscan")).split(",")
 
 import jax
 
 if "rbg" in variants:
-    # PRNG impl must be set before any key creation, so it applies to EVERY
-    # variant in this invocation — run rbg alone for a clean A/B
+    # the PRNG impl must be set before any key creation, so it would apply
+    # to EVERY variant in this process and silently corrupt the baseline
+    # rows — enforce rbg-alone
+    if len(variants) > 1:
+        sys.exit("run the rbg variant alone: python tools/diag_primary.py rbg")
     jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp

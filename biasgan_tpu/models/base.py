@@ -35,19 +35,9 @@ class BaseModel:
 
     def __init__(self, cfg):
         self.cfg = cfg
-        # The reference's isTrain comes from WHICH options class parsed the
-        # CLI (TrainOptions vs TestOptions), NOT from --phase: `test.py
-        # --phase train` legitimately applies G to the training split. Use
-        # the config class when available, falling back to phase for
-        # hand-built duck-typed configs.
-        from biasgan_tpu.config import TestConfig, TrainConfig
+        from biasgan_tpu.config import is_train_config
 
-        if isinstance(cfg, TrainConfig):
-            self.is_train = True
-        elif isinstance(cfg, TestConfig):
-            self.is_train = False
-        else:
-            self.is_train = cfg.phase == "train"
+        self.is_train = is_train_config(cfg)
         self.run_dir = cfg.run_dir()
         os.makedirs(self.run_dir, exist_ok=True)
         self._rng = jax.random.PRNGKey(cfg.seed)
@@ -92,18 +82,17 @@ class BaseModel:
         if self.is_train:
             step = self._make_train_step(axis_name, self._spatial_ctx)
             if self.steps_per_call > 1:
-                if self._spatial_ctx is not None:
-                    raise NotImplementedError(
-                        "--steps_per_call > 1 with --spatial_mesh is not "
-                        "supported (scan batch stacking vs W sharding)"
-                    )
                 from biasgan_tpu.models.common import make_scan_step
 
+                # composes with BOTH mesh axes: the scan runs INSIDE the
+                # shard_map (k stacked batches, W- and/or B-sharded)
                 step = make_scan_step(step, self.steps_per_call)
             if self._spatial_ctx is not None:
                 from biasgan_tpu.parallel.spatial import spatial_train_step
 
-                step = spatial_train_step(step, self.mesh, cfg)
+                step = spatial_train_step(
+                    step, self.mesh, cfg, scan_k=self.steps_per_call
+                )
             elif self.mesh is not None:
                 from biasgan_tpu.parallel import data_parallel_step
 
@@ -145,11 +134,18 @@ class BaseModel:
         self._batch = {
             k: v for k, v in data.items() if not k.endswith("_paths")
         }
+        # train drivers feed (k, B, ...) scan stacks under --steps_per_call;
+        # eval-time callers (evaluate_metrics_on) feed plain batches
+        self._batch_stacked = self.is_train and self.steps_per_call > 1
         self._paths = data.get("A_paths", data.get("B_paths", []))
         if self._spatial_ctx is not None:
             from biasgan_tpu.parallel.spatial import shard_batch_spatial
 
-            self._batch = shard_batch_spatial(self._batch, self.mesh)
+            self._batch = shard_batch_spatial(
+                self._batch,
+                self.mesh,
+                scan=self.is_train and self.steps_per_call > 1,
+            )
         elif self.mesh is not None:
             from biasgan_tpu.parallel import shard_batch
 
@@ -174,8 +170,14 @@ class BaseModel:
         rng = jax.random.fold_in(
             jax.random.fold_in(self._rng, 0x7E57), self._eval_calls
         )
+        batch = self._batch
+        if getattr(self, "_batch_stacked", False) and batch is not None:
+            # under --steps_per_call the stored batch is a (k, B, ...) scan
+            # stack; eval on the LAST step's batch so any caller of the
+            # reference test() API gets a valid single-step forward
+            batch = {k: v[-1] for k, v in batch.items()}
         self._visuals = self._eval_fn(
-            self.state, self._batch, rng, train=not self._is_eval
+            self.state, batch, rng, train=not self._is_eval
         )
 
     def eval(self):
@@ -198,6 +200,42 @@ class BaseModel:
 
     def get_image_paths(self) -> List[str]:
         return self._paths
+
+    def evaluate_metrics_on(self, data: Dict[str, Any]) -> Dict[str, float]:
+        """Eval-mode forward on a HELD-OUT batch + in-graph metric bundle
+        (spectral/PDF/per-pixel parity) — out-of-sample skill. Restores all
+        training-facing state (batch, visuals, eval flag) afterwards, so
+        display/save hooks never see the metric forward."""
+        saved = (
+            self._batch,
+            self._paths,
+            self._is_eval,
+            self._visuals,
+            getattr(self, "_batch_stacked", False),
+        )
+        try:
+            batch = {k: v for k, v in data.items() if not k.endswith("_paths")}
+            if self._spatial_ctx is not None:
+                from biasgan_tpu.parallel.spatial import shard_batch_spatial
+
+                batch = shard_batch_spatial(batch, self.mesh)
+            elif self.mesh is not None:
+                from biasgan_tpu.parallel import shard_batch
+
+                batch = shard_batch(batch, self.mesh, batch_axis=0)
+            self._batch = batch
+            self._batch_stacked = False  # plain (B, ...) batch
+            self._is_eval = True
+            self.test()
+            return self.compute_validation_metrics()
+        finally:
+            (
+                self._batch,
+                self._paths,
+                self._is_eval,
+                self._visuals,
+                self._batch_stacked,
+            ) = saved
 
     def compute_validation_metrics(self) -> Dict[str, float]:
         """In-graph spectral/PDF/per-pixel parity of the corrected field vs
@@ -257,9 +295,28 @@ class BaseModel:
         return ckpt.save_state(self.run_dir, str(tag), self.state, meta)
 
     def load_networks(self, tag):
-        self.state = ckpt.restore_state(
-            self.run_dir, str(tag), ckpt.abstract_like(self.state)
-        )
+        if self.is_train:
+            # exact resume: restore the FULL state (params, both optimizer
+            # states, step, lr_scale, pools) into the live structure
+            self.state = ckpt.restore_state(
+                self.run_dir, str(tag), ckpt.abstract_like(self.state)
+            )
+        else:
+            # test-phase models are G-only (reference isTrain semantics) but
+            # the checkpoint carries the whole training state: restore raw
+            # and graft just the nets this model declares, so test.py needs
+            # no knowledge of training-time D hyperparameters
+            raw = ckpt.restore_raw(self.run_dir, str(tag))
+            saved_nets = raw["nets"] if isinstance(raw, dict) else raw.nets
+            missing = [n for n in self.state.nets if n not in saved_nets]
+            if missing:
+                raise KeyError(
+                    f"checkpoint has nets {sorted(saved_nets)}; missing "
+                    f"{missing} required by model {self.cfg.model!r}"
+                )
+            self.state = self.state.replace(
+                nets={n: dict(saved_nets[n]) for n in self.state.nets}
+            )
         meta = ckpt.load_meta(self.run_dir, str(tag))
         self._host_step = meta.get("host_step", int(self.state.step))
         self._epoch = meta.get("epoch", self._epoch)
@@ -269,6 +326,8 @@ class BaseModel:
 
         print("---------- Networks initialized -------------")
         for name in self.net_names:
+            if name not in self.state.nets:
+                continue  # test-phase models carry only their Gs
             n = count_params(self.state.nets[name])
             print(f"[Network {name}] Total number of parameters : {n/1e6:.3f} M")
         print("-----------------------------------------------")

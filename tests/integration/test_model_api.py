@@ -80,6 +80,52 @@ def test_wgangp_full_step(tmp_path):
     assert all(np.isfinite(v) for v in losses.values()), losses
 
 
+def test_wgangp_grad_of_grad_through_tiny_cin_vjp(tmp_path, monkeypatch):
+    """The gradient penalty differentiates THROUGH the inner D-input
+    gradient — grad-of-grad. At production sizes (M >= 64k) the D stem's
+    conv runs the _conv_tiny_cin custom VJP (nn/layers.py), whose bwd is
+    plain conv ops, so second-order autodiff must trace AND match the
+    plain-autodiff path. Forces the M gate open (BIASGAN_S2D_MIN_M=1) so
+    the tiny test config exercises the same code a 256^2 wgangp run hits
+    (r2 advisor: this path was never exercised below the gate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from biasgan_tpu.models.pix2pix import create_state, make_train_step
+
+    cfg = _cfg(tmp_path, ["--gan_mode", "wgangp", "--name", "wgp2"])
+    cfg.steps_per_epoch = 4
+    a = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    )
+    batch = {"A": jnp.asarray(a), "B": jnp.tanh(jnp.asarray(a))}
+    rng = jax.random.PRNGKey(2)
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+
+    # reference: custom VJP disabled (plain autodiff through the stem conv)
+    monkeypatch.setenv("BIASGAN_NO_TINY_CIN_VJP", "1")
+    monkeypatch.setenv("BIASGAN_S2D_MIN_M", "1")
+    monkeypatch.setenv("BIASGAN_S2D_MAX_COUT", "0")
+    s_ref, l_ref, _ = jax.jit(make_train_step(cfg))(state0, batch, rng)
+
+    # the production path: tiny-cin custom VJP engaged (fresh jit = fresh
+    # trace reads the new env)
+    monkeypatch.setenv("BIASGAN_NO_TINY_CIN_VJP", "0")
+    monkeypatch.setenv("BIASGAN_S2D_MAX_COUT", "8")
+    s_vjp, l_vjp, _ = jax.jit(make_train_step(cfg))(state0, batch, rng)
+
+    for k in l_ref:
+        np.testing.assert_allclose(
+            float(l_vjp[k]), float(l_ref[k]), rtol=2e-4, atol=2e-4, err_msg=k
+        )
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.nets)
+    vjp_leaves = jax.tree_util.tree_leaves(s_vjp.nets)
+    for x, y in zip(ref_leaves, vjp_leaves):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=1.5e-3
+        )
+
+
 def test_phase_train_at_test_time_builds_no_train_step(tmp_path):
     """Reference semantics: `test.py --phase train` applies G to the
     TRAINING split. is_train must follow the config CLASS (TestConfig), not

@@ -29,13 +29,52 @@ from biasgan_tpu.models import create_model
 from biasgan_tpu.utils.visualizer import Visualizer
 
 
+def _avg_metrics(metric_dicts):
+    """Mean of each metric over an iterable of name->float dicts."""
+    total, count = {}, 0
+    for m in metric_dicts:
+        if not m:
+            continue
+        count += 1
+        for k, v in m.items():
+            total[k] = total.get(k, 0.0) + v
+    return {k: v / count for k, v in total.items()} if count else {}
+
+
+def _build_val_loader(cfg):
+    """Held-out validation loader: --val_split N (last N samples of the
+    dataset) or, for directory-backed datasets, a 'val' phase directory
+    (e.g. climate valA/valB). Returns None when neither exists."""
+    if getattr(cfg, "val_split", 0) > 0:
+        return create_dataset(cfg, split="val")
+    if cfg.dataset_mode in ("climate", "aligned", "unaligned", "single"):
+        import dataclasses
+
+        try:
+            return create_dataset(dataclasses.replace(cfg, phase="val"))
+        except FileNotFoundError:
+            return None
+    return None
+
+
 def main(argv=None):
     cfg = parse_config(argv, train=True)
-    dataset = create_dataset(cfg)
+    dataset = create_dataset(
+        cfg, split="train" if getattr(cfg, "val_split", 0) > 0 else None
+    )
     cfg.steps_per_epoch = len(dataset)
     print(format_config(cfg))
     save_config(cfg)
     print(f"The number of training images = {dataset.num_samples}")
+    val_loader = _build_val_loader(cfg)
+    if val_loader is not None:
+        print(f"The number of validation images = {val_loader.num_samples}")
+
+    def val_batches(max_batches=None):
+        for i, vb in enumerate(val_loader):
+            if max_batches is not None and i >= max_batches:
+                return
+            yield vb
 
     model = create_model(cfg)
     model.setup()
@@ -93,13 +132,30 @@ def main(argv=None):
                 print(f"profile trace written to {cfg.run_dir()}/profile")
 
             if cfg.val_freq and total_iters % cfg.val_freq < cfg.batch_size * spc:
+                # train-batch bundle (in-sample, from current visuals) ...
                 metrics = model.compute_validation_metrics()
                 if metrics:
                     visualizer.plot_current_metrics(total_iters, metrics)
                     print(
-                        "validation: "
+                        "validation (train batch): "
                         + " ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
                     )
+                # ... AND a held-out bundle in eval mode (out-of-sample
+                # skill — the judged statistical-parity contract only means
+                # something on unseen fields)
+                if val_loader is not None:
+                    vm = _avg_metrics(
+                        model.evaluate_metrics_on(vb)
+                        for vb in val_batches(max_batches=4)
+                    )
+                    if vm:
+                        visualizer.plot_current_metrics(
+                            total_iters, {f"val_{k}": v for k, v in vm.items()}
+                        )
+                        print(
+                            "validation (held out): "
+                            + " ".join(f"{k}: {v:.4f}" for k, v in vm.items())
+                        )
 
             if total_iters % cfg.print_freq < cfg.batch_size * spc:
                 losses = model.get_current_losses()  # device sync point
@@ -127,16 +183,24 @@ def main(argv=None):
         # the last batch — train-mode visuals would track dropout noise and
         # one lucky batch could pin _plateau_best forever
         metric = None
-        if cfg.lr_policy == "plateau" and model._batch is not None:
-            saved_batch, saved_eval = model._batch, model._is_eval
-            if model.steps_per_call > 1:
-                # scan-stacked (k, B, ...) batches: eval on the last step's
-                model._batch = {k: v[-1] for k, v in saved_batch.items()}
-            model._is_eval = True  # TRUE eval mode: no dropout in the metric
-            model.test()
-            model._batch, model._is_eval = saved_batch, saved_eval
-            m = model.compute_validation_metrics()
-            metric = m.get("rmse") if m else None
+        if cfg.lr_policy == "plateau":
+            if val_loader is not None:
+                # the tracked metric is HELD-OUT RMSE over the val split
+                # (eval mode) — the only signal that can see overfitting
+                m = _avg_metrics(
+                    model.evaluate_metrics_on(vb) for vb in val_batches()
+                )
+                metric = m.get("rmse") if m else None
+            elif model._batch is not None:
+                # no val data: fall back to an eval-mode forward on the
+                # last training batch (in-sample; model.test() un-stacks
+                # scan batches and evaluate-state is restored around it)
+                saved_eval, saved_visuals = model._is_eval, model._visuals
+                model._is_eval = True
+                model.test()
+                m = model.compute_validation_metrics()
+                model._is_eval, model._visuals = saved_eval, saved_visuals
+                metric = m.get("rmse") if m else None
             if metric is None:
                 print("warning: plateau policy found no rmse metric; "
                       "lr will not decay this epoch")

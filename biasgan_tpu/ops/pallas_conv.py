@@ -76,66 +76,135 @@ def _kernel(
     n_h: int,
     activation: str,
     out_dtype,
+    variant: str = "tap9",
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
     step = b * n_h + h
     total = pl.num_programs(0) * n_h
+    w_out = out_ref.shape[2]
 
-    def dma(bb, hh, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(hh * th, th + 2)],
-            x_vmem.at[slot],
-            sems.at[slot],
-        )
+    if variant == "shift3":
+        # the three column shifts are done BY THE DMA: per program, three
+        # copies land the dx-shifted (TH+2, W, C) windows in their own
+        # aligned scratch buffers (x_vmem is (2, 3, TH+2, W, C)) — zero
+        # in-kernel sublane shifts; every tap window is a free outer-dim
+        # row slice of an aligned buffer
+        def dma(bb, hh, slot, dx):
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(hh * th, th + 2), pl.ds(dx, w_out)],
+                x_vmem.at[slot, dx],
+                sems.at[slot, dx],
+            )
+
+        def start_all(bb, hh, slot):
+            for dx in range(3):
+                dma(bb, hh, slot, dx).start()
+
+    else:
+
+        def dma(bb, hh, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(hh * th, th + 2)],
+                x_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        def start_all(bb, hh, slot):
+            dma(bb, hh, slot).start()
 
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
 
     @pl.when(step == 0)
     def _():
-        dma(b, h, slot).start()
+        start_all(b, h, slot)
 
     # prefetch the NEXT program's rows while this tile computes
     @pl.when(step + 1 < total)
     def _():
         nstep = step + 1
-        dma(nstep // n_h, jax.lax.rem(nstep, n_h), nxt).start()
+        start_all(nstep // n_h, jax.lax.rem(nstep, n_h), nxt)
+
+    acc = jnp.zeros((th, w_out, out_ref.shape[3]), jnp.float32)
+    if variant == "shift3":
+        for dx in range(3):
+            dma(b, h, slot, dx).wait()
+        for dy in range(3):
+            for dx in range(3):
+                win = x_vmem[slot, dx, dy : dy + th]
+                acc = acc + jax.lax.dot_general(
+                    win,
+                    w_ref[dy * 3 + dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        bias = b_ref[0] if b_ref is not None else None
+        res = r_ref[0] if r_ref is not None else None
+        out_ref[0] = _epilogue(acc, bias, res, activation).astype(out_dtype)
+        return
 
     dma(b, h, slot).wait()
     x = x_vmem[slot]  # (TH+2, W+2, C) value in registers/VMEM
 
-    w_out = out_ref.shape[2]
-    acc = jnp.zeros((th, w_out, out_ref.shape[3]), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
+    c = x.shape[2]
+    if variant == "rowcat":
+        # pay the unaligned column shift ONCE per dx (3 copies) instead of
+        # per tap (9 slices): concat the 3 col-shifted views on the channel
+        # axis, then 3 wide K=3C matmuls — row (dy) slices ride the outer
+        # (untiled) dim for free. w_ref here is (3, 3C, Cout), [dy][(dx,c)].
+        xcat = jnp.concatenate(
+            [
+                jax.lax.slice(x, (0, dx, 0), (th + 2, dx + w_out, c))
+                for dx in range(3)
+            ],
+            axis=-1,
+        )  # (TH+2, W, 3C)
+        for dy in range(3):
             win = jax.lax.slice(
-                x, (dy, dx, 0), (dy + th, dx + w_out, x.shape[2])
+                xcat, (dy, 0, 0), (dy + th, w_out, 3 * c)
             )
             acc = acc + jax.lax.dot_general(
                 win,
-                w_ref[dy * 3 + dx],
+                w_ref[dy],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    else:
+        for dy in range(3):
+            for dx in range(3):
+                win = jax.lax.slice(
+                    x, (dy, dx, 0), (dy + th, dx + w_out, c)
+                )
+                acc = acc + jax.lax.dot_general(
+                    win,
+                    w_ref[dy * 3 + dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     bias = b_ref[0] if b_ref is not None else None
     res = r_ref[0] if r_ref is not None else None
     out_ref[0] = _epilogue(acc, bias, res, activation).astype(out_dtype)
 
 
-def _pick_th(h: int, w: int, c: int, cout: int, dtype) -> int:
+def _pick_th(h: int, w: int, c: int, cout: int, dtype, variant: str) -> int:
     """Largest row tile (divisor of H) whose buffers fit the VMEM budget."""
     esize = jnp.dtype(dtype).itemsize
     for th in (64, 32, 16, 8, 4, 2, 1):
         if h % th:
             continue
         wp = -(-(w + 2) // 8) * 8
+        inp = 2 * (th + 2) * wp * c * esize     # double-buffered input
+        if variant == "shift3":
+            inp = 2 * 3 * (th + 2) * w * c * esize  # 3 shifted buffers
         need = (
-            2 * (th + 2) * wp * c * esize       # double-buffered input
+            inp
             + th * w * cout * 4                 # f32 accumulator
             + 2 * th * w * cout * esize         # out block (+residual)
             + 9 * c * cout * esize              # weights
         )
+        if variant == "rowcat":
+            need += (th + 2) * w * 3 * c * esize  # the concat buffer
         if need <= _VMEM_BUDGET:
             return th
     return 1
@@ -149,6 +218,7 @@ def conv3x3_pallas(
     activation: str = "none",
     w_pad_mode: str = "zero",
     interpret: bool = False,
+    variant: str = "tap9",
 ) -> Array:
     """SAME 3x3 stride-1 conv, NHWC x HWIO -> NHWC (torch Conv2d(3, s1, p1)
     cross-correlation semantics, f32 accumulation), with a fused
@@ -156,6 +226,8 @@ def conv3x3_pallas(
 
     ``w_pad_mode``: 'zero' | 'wrap' (periodic longitude) — applied to the W
     axis of the SAME padding; H is always zero-padded.
+    ``variant``: 'tap9' (9 K=C tap matmuls) | 'rowcat' (3 col-shift concats
+    then 3 K=3C matmuls — fewer unaligned sublane shifts).
     """
     n, h, w, c = x.shape
     kh, kw, cin, cout = kernel.shape
@@ -175,9 +247,17 @@ def conv3x3_pallas(
     if wp > w + 2:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - (w + 2)), (0, 0)))
 
-    th = _pick_th(h, w, c, cout, x.dtype)
+    import os
+
+    th_env = int(os.environ.get("BIASGAN_CONV_TH", "0"))
+    th = th_env if th_env and h % th_env == 0 else _pick_th(
+        h, w, c, cout, x.dtype, variant
+    )
     n_h = h // th
-    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+    if variant == "rowcat":
+        w9 = kernel.reshape(3, 3 * c, cout).astype(x.dtype)
+    else:
+        w9 = kernel.reshape(9, c, cout).astype(x.dtype)
 
     out_spec = pl.BlockSpec(
         (1, th, w, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
@@ -207,6 +287,7 @@ def conv3x3_pallas(
         _kernel(
             x_hbm, w_ref, b_ref, r_ref, out_ref, x_vmem, sems,
             th=th, n_h=n_h, activation=activation, out_dtype=x.dtype,
+            variant=variant,
         )
 
     flops = 2 * n * h * w * c * cout * 9
@@ -221,10 +302,17 @@ def conv3x3_pallas(
         grid=(n, n_h),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wp, c), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, 3, th + 2, w, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ]
+            if variant == "shift3"
+            else [
+                pltpu.VMEM((2, th + 2, wp, c), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
         ),

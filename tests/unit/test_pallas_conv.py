@@ -34,6 +34,22 @@ def test_conv3x3_matches_xla(w_pad, act):
     )
 
 
+@pytest.mark.parametrize("w_pad", ["zero", "wrap"])
+@pytest.mark.parametrize("variant", ["rowcat", "shift3"])
+def test_conv3x3_variants(w_pad, variant):
+    x, kern, bias, res = _data(h=16, w=8)
+    got = conv3x3_pallas(
+        x, kern, bias, res, activation="lrelu", w_pad_mode=w_pad,
+        interpret=True, variant=variant,
+    )
+    want = reference_conv3x3(
+        x, kern, bias, res, activation="lrelu", w_pad_mode=w_pad
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_conv3x3_no_epilogue_multi_rowtile():
     # H=16 forces a multi-program row grid (the double-buffer DMA path)
     x, kern, _, _ = _data(n=2, h=16, w=8, c=128, cout=128, seed=1)

@@ -49,13 +49,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "4"))
 
 
-def run(tag: str, no_dropout: bool, scan_k: int):
+def run(tag: str, no_dropout: bool, scan_k: int, adam_mu: str = "float32",
+        repeats: int = 3):
     cls = merge_config_cls(TrainConfig, Pix2PixConfig)
     cfg = cls(
         model="pix2pix", netG="unet_256", netD="basic", norm="batch",
         gan_mode="vanilla", pool_size=0, no_dropout=no_dropout,
         crop_size=256, input_nc=3, output_nc=3, batch_size=BATCH,
         ngf=64, ndf=64, steps_per_epoch=1000, compute_dtype="bfloat16",
+        adam_mu_dtype=adam_mu,
         checkpoints_dir="/tmp/bgt_diag", name="diag",
     )
     rng = jax.random.PRNGKey(0)
@@ -75,33 +77,47 @@ def run(tag: str, no_dropout: bool, scan_k: int):
     for i in range(2):
         state, losses, _ = step(state, batch, jax.random.fold_in(rng, i))
     sync(losses)
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, losses, _ = step(state, batch, jax.random.fold_in(rng, 10 + i))
-    sync(losses)
-    dt = time.perf_counter() - t0
-    rate = BATCH * STEPS * scan_k / dt
+    best = float("inf")
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, losses, _ = step(
+                state, batch, jax.random.fold_in(rng, 10 + r * STEPS + i)
+            )
+        sync(losses)
+        best = min(best, time.perf_counter() - t0)
+    rate = BATCH * STEPS * scan_k / best
     print(json.dumps({"variant": tag, "samples_per_sec": round(rate, 1),
                       "prng": jax.config.jax_default_prng_impl,
-                      "scan_k": scan_k, "no_dropout": no_dropout}), flush=True)
+                      "scan_k": scan_k, "no_dropout": no_dropout,
+                      "adam_mu": adam_mu}), flush=True)
 
 
-def patch_remat():
-    """Experiment: rematerialize every net forward (jax.checkpoint,
-    nothing_saveable) — trades fwd recompute FLOPs (~free at 21% MFU) for
-    not storing fwd activations (the step is HBM-bound)."""
+def patch_remat(policy):
+    """Experiment: rematerialize net forwards under ``policy``:
+      nothing_saveable — full remat (r2: LOST 23%)
+      dots             — save only contraction (conv/dot) outputs,
+                         rematerialize the elementwise/norm chains between
+                         them (the r2-untried SELECTIVE policy: keeps the
+                         expensive ops' results, drops the cheap-to-recompute
+                         intermediates that only cost HBM)
+    """
     import biasgan_tpu.models.common as common
     import biasgan_tpu.models.pix2pix as p2p
 
     orig = common.apply_net
+    policies = {
+        "nothing_saveable": jax.checkpoint_policies.nothing_saveable,
+        "dots": lambda prim, *_, **__: prim.name
+        in ("conv_general_dilated", "dot_general"),
+    }
+    pol = policies[policy]
 
     def apply_net_remat(module, variables, x, train, rngs=None, ctx=None):
         def f(variables, x, rngs):
             return orig(module, variables, x, train, rngs, ctx)
 
-        return jax.checkpoint(
-            f, policy=jax.checkpoint_policies.nothing_saveable
-        )(variables, x, rngs)
+        return jax.checkpoint(f, policy=pol)(variables, x, rngs)
 
     common.apply_net = apply_net_remat
     p2p.apply_net = apply_net_remat

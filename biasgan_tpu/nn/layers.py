@@ -301,6 +301,29 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    # Opt-in Pallas 3x3 conv path (ops/pallas_conv.py; BIASGAN_PALLAS_CONV=1
+    # on TPU, =interpret for CPU tests). Measured 0.93-0.96x XLA's emitter
+    # on the judged shapes (BASELINE.md r3), so NOT default — kept wired for
+    # whole-model A/B measurement and as the native-tier integration point.
+    _pc = _os.environ.get("BIASGAN_PALLAS_CONV", "")
+    if (
+        _pc
+        and stride == (1, 1)
+        and (kh, kw) == (3, 3)
+        and padding == (1, 1)
+        and kernel.shape[2] >= 128
+        and kernel.shape[3] >= 128
+        and (x.shape[2] - 2) % 8 == 0
+        and x.shape[1] - 2 > 0
+        and ctx is None
+        and (_pc == "interpret" or jax.default_backend() == "tpu")
+    ):
+        from biasgan_tpu.ops.pallas_conv import conv3x3_op
+
+        y = conv3x3_op(x, kernel, None, _pc == "interpret")
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     f = (
         _s2d_factor(kernel.shape[-1], out_h, out_w_local, x.shape[0])
         if stride == (1, 1)

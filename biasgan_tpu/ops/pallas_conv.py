@@ -235,25 +235,48 @@ def conv3x3_pallas(
 
     # SAME padding outside the kernel: H zero, W zero or periodic. XLA fuses
     # the pad with the producing op; traffic cost is the 2-row/col rim.
-    # The padded W extent is rounded up to a sublane multiple (8) — Mosaic
-    # requires memref slice extents on the second-to-last dim be
-    # tiling-aligned (the r3 first compile failed on a 66-wide slice).
-    wp = -(-(w + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     if w_pad_mode == "wrap":
         xp = jnp.concatenate([xp[:, :, -1:, :], xp, xp[:, :, :1, :]], axis=2)
     else:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    if wp > w + 2:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - (w + 2)), (0, 0)))
+    return conv3x3_valid(
+        xp, kernel, bias, residual, activation, interpret, variant
+    )
+
+
+def conv3x3_valid(
+    xp: Array,
+    kernel: Array,
+    bias: Optional[Array] = None,
+    residual: Optional[Array] = None,
+    activation: str = "none",
+    interpret: bool = False,
+    variant: str = "tap9",
+) -> Array:
+    """VALID 3x3 stride-1 conv on an ALREADY-PADDED input: (N, H+2, Wp, C)
+    -> (N, H, Wp-2, C_out). The output width (Wp - 2) must be a multiple of
+    8 (Mosaic block alignment); the input W is rounded up internally with
+    dead columns the taps never read."""
+    n, hp, wfull, c = xp.shape
+    h, w = hp - 2, wfull - 2
+    cout = kernel.shape[-1]
+    assert w % 8 == 0, f"valid-conv output width {w} must be 8-aligned"
+    # round the INPUT width up to a sublane multiple — Mosaic requires
+    # memref slice extents on the second-to-last dim be tiling-aligned
+    # (the r3 first compile failed on a 66-wide slice)
+    wp = -(-wfull // 8) * 8
+    if wp > wfull:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wfull), (0, 0)))
 
     import os
 
     th_env = int(os.environ.get("BIASGAN_CONV_TH", "0"))
     th = th_env if th_env and h % th_env == 0 else _pick_th(
-        h, w, c, cout, x.dtype, variant
+        h, w, c, cout, xp.dtype, variant
     )
     n_h = h // th
+    x = xp  # naming below
     if variant == "rowcat":
         w9 = kernel.reshape(3, 3 * c, cout).astype(x.dtype)
     else:
@@ -321,6 +344,55 @@ def conv3x3_pallas(
         ),
         interpret=interpret,
     )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_op(xp: Array, kernel: Array, bias, interpret: bool = False):
+    """Differentiable VALID 3x3 conv on a PRE-PADDED input (N, H+2, W+2, C)
+    -> (N, H, W, Cout): forward AND the input gradient both run on the
+    Pallas kernel (the input grad of a SAME-zero 3x3 conv is itself a
+    SAME-zero 3x3 conv of the cotangent with the space-flipped,
+    channel-transposed kernel). The weight grad is the batch-as-contraction
+    GEMM autodiff would build (identical for either emitter). Because the
+    caller does the padding (pad_hw: zero/reflect/wrap/halo), the pad's own
+    adjoint — XLA's — handles every boundary mode exactly."""
+    return conv3x3_valid(xp, kernel, bias, interpret=interpret)
+
+
+def _op_fwd(xp, kernel, bias, interpret):
+    out = conv3x3_valid(xp, kernel, bias, interpret=interpret)
+    return out, (xp, kernel, bias)
+
+
+def _op_bwd(interpret, res, g):
+    xp, kernel, bias = res
+    n, hp, wfull, c = xp.shape
+    h, w = hp - 2, wfull - 2
+    # dxp interior: SAME-zero conv of g with flipped/transposed kernel; the
+    # border rows/cols of dxp (the pad rim) are reconstructed by padding g
+    # by 2 and running the same VALID kernel at out width (w+2), right-
+    # padded to Mosaic's 8-alignment and sliced back
+    kt = kernel[::-1, ::-1].transpose(0, 1, 3, 2).astype(g.dtype)
+    out_w = w + 2
+    pad_r = 2 + (-out_w % 8)
+    gp = jnp.pad(g, ((0, 0), (2, 2), (2, pad_r), (0, 0)))
+    dxp = conv3x3_valid(gp, kt, None, interpret=interpret)[:, :, :out_w, :]
+    dw = jax.lax.conv_general_dilated(
+        xp.transpose(3, 1, 2, 0),  # (C, H+2, W+2, N): C batches, N channels
+        g.transpose(1, 2, 0, 3),   # (H, W, N, Cout)
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).transpose(1, 2, 0, 3)        # (3, 3, C, Cout)
+    db = (
+        jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(bias.dtype)
+        if bias is not None
+        else None
+    )
+    return dxp.astype(xp.dtype), dw.astype(kernel.dtype), db
+
+
+conv3x3_op.defvjp(_op_fwd, _op_bwd)
 
 
 def reference_conv3x3(

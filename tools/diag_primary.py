@@ -130,6 +130,16 @@ for v in variants:
         run(v, no_dropout=True, scan_k=4)
     elif v == "noscan":
         run(v, no_dropout=False, scan_k=1)
+    elif v == "adam_mu_bf16":
+        run(v, no_dropout=False, scan_k=4, adam_mu="bfloat16")
     elif v == "remat":
-        patch_remat()
+        patch_remat("nothing_saveable")
         run(v, no_dropout=False, scan_k=4)
+    elif v == "remat_dots":
+        patch_remat("dots")
+        run(v, no_dropout=False, scan_k=4)
+    elif v == "pallas_conv":
+        os.environ["BIASGAN_PALLAS_CONV"] = "1"
+        run(v, no_dropout=False, scan_k=4)
+    else:
+        sys.exit(f"unknown variant {v!r}")

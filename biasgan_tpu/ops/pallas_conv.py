@@ -71,6 +71,7 @@ def _kernel(
     out_ref,    # (1, TH, W, Cout) VMEM block
     x_vmem,     # scratch (2, TH+2, W+2, C)
     sems,       # DMA semaphores (2,)
+    im_ref=None,  # im2col scratch (TH, W, 9C), 'im2col' variant only
     *,
     th: int,
     n_h: int,
@@ -125,6 +126,33 @@ def _kernel(
     def _():
         nstep = step + 1
         start_all(nstep // n_h, jax.lax.rem(nstep, n_h), nxt)
+
+    if variant == "im2col":
+        # build the full (TH, W, 9C) patch tensor in an im2col SCRATCH REF
+        # (ref stores normalize the tap slices' misaligned layouts — the
+        # in-register concat/roll formulations both fail to lower), then
+        # ONE deep-contraction matmul: K = 9C fills the MXU pipeline in a
+        # single dispatch instead of 9 short-K dots with VPU accumulator
+        # updates between them. w_ref is (9C, Cout).
+        dma(b, h, slot).wait()
+        x = x_vmem[slot]
+        c = x.shape[2]
+        for dy in range(3):
+            for dx in range(3):
+                t = dy * 3 + dx
+                im_ref[:, :, t * c : (t + 1) * c] = jax.lax.slice(
+                    x, (dy, dx, 0), (dy + th, dx + w_out, c)
+                )
+        acc = jax.lax.dot_general(
+            im_ref[...],
+            w_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bias = b_ref[0] if b_ref is not None else None
+        res = r_ref[0] if r_ref is not None else None
+        out_ref[0] = _epilogue(acc, bias, res, activation).astype(out_dtype)
+        return
 
     acc = jnp.zeros((th, w_out, out_ref.shape[3]), jnp.float32)
     if variant == "shift3":
@@ -191,8 +219,6 @@ def _pick_th(h: int, w: int, c: int, cout: int, dtype, variant: str) -> int:
     """Largest row tile (divisor of H) whose buffers fit the VMEM budget."""
     esize = jnp.dtype(dtype).itemsize
     for th in (64, 32, 16, 8, 4, 2, 1):
-        if h % th:
-            continue
         wp = -(-(w + 2) // 8) * 8
         inp = 2 * (th + 2) * wp * c * esize     # double-buffered input
         if variant == "shift3":
@@ -205,6 +231,9 @@ def _pick_th(h: int, w: int, c: int, cout: int, dtype, variant: str) -> int:
         )
         if variant == "rowcat":
             need += (th + 2) * w * 3 * c * esize  # the concat buffer
+        if variant == "im2col":
+            # patch tensor + 2 rolled copies of the input block
+            need += th * w * 9 * c * esize + 2 * (th + 2) * wp * c * esize
         if need <= _VMEM_BUDGET:
             return th
     return 1
@@ -272,13 +301,25 @@ def conv3x3_valid(
     import os
 
     th_env = int(os.environ.get("BIASGAN_CONV_TH", "0"))
-    th = th_env if th_env and h % th_env == 0 else _pick_th(
-        h, w, c, cout, xp.dtype, variant
-    )
-    n_h = h // th
+    th = th_env or _pick_th(h, w, c, cout, xp.dtype, variant)
+    # H need not divide the row tile (the real full-globe H is 181, prime):
+    # pad the rows up to the tile multiple and slice the dead rows off the
+    # output — cheaper than th=1 by far, and the dead rows are at most
+    # th-1 of compute
+    h_run = -(-h // th) * th
+    if h_run > h:
+        xp = jnp.pad(xp, ((0, 0), (0, h_run - h), (0, 0), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(
+                residual, ((0, 0), (0, h_run - h), (0, 0), (0, 0))
+            )
+    n_h = h_run // th
+    h_orig, h = h, h_run
     x = xp  # naming below
     if variant == "rowcat":
         w9 = kernel.reshape(3, 3 * c, cout).astype(x.dtype)
+    elif variant == "im2col":
+        w9 = kernel.reshape(9 * c, cout).astype(x.dtype)
     else:
         w9 = kernel.reshape(9, c, cout).astype(x.dtype)
 
@@ -307,8 +348,9 @@ def conv3x3_valid(
             r_ref = rest[i]
             i += 1
         out_ref, x_vmem, sems = rest[i], rest[i + 1], rest[i + 2]
+        im_ref = rest[i + 3] if variant == "im2col" else None
         _kernel(
-            x_hbm, w_ref, b_ref, r_ref, out_ref, x_vmem, sems,
+            x_hbm, w_ref, b_ref, r_ref, out_ref, x_vmem, sems, im_ref,
             th=th, n_h=n_h, activation=activation, out_dtype=x.dtype,
             variant=variant,
         )
@@ -319,7 +361,7 @@ def conv3x3_valid(
         + w9.size * w9.dtype.itemsize
         + n * h * w * cout * x.dtype.itemsize
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
         grid=(n, n_h),
@@ -335,6 +377,11 @@ def conv3x3_valid(
                 pltpu.VMEM((2, th + 2, wp, c), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
+            + (
+                [pltpu.VMEM((th, w, 9 * c), x.dtype)]
+                if variant == "im2col"
+                else []
+            )
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
@@ -344,6 +391,7 @@ def conv3x3_valid(
         ),
         interpret=interpret,
     )(*args)
+    return out if h == h_orig else out[:, :h_orig]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

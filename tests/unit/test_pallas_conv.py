@@ -35,7 +35,7 @@ def test_conv3x3_matches_xla(w_pad, act):
 
 
 @pytest.mark.parametrize("w_pad", ["zero", "wrap"])
-@pytest.mark.parametrize("variant", ["rowcat", "shift3"])
+@pytest.mark.parametrize("variant", ["rowcat", "shift3", "im2col"])
 def test_conv3x3_variants(w_pad, variant):
     x, kern, bias, res = _data(h=16, w=8)
     got = conv3x3_pallas(
@@ -127,6 +127,17 @@ def test_conv2d_pallas_gate_matches_xla(monkeypatch):
     )(x)
     np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_prime_height():
+    """H need not divide the row tile (full-globe H after downsampling is
+    181, prime): rows are padded to the tile and trimmed."""
+    x, kern, bias, _ = _data(n=1, h=13, w=8, c=128, cout=128, seed=5)
+    got = conv3x3_pallas(x, kern, bias, interpret=True)
+    want = reference_conv3x3(x, kern, bias)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_conv3x3_bf16():

@@ -302,9 +302,11 @@ def conv2d(
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
     # Opt-in Pallas 3x3 conv path (ops/pallas_conv.py; BIASGAN_PALLAS_CONV=1
-    # on TPU, =interpret for CPU tests). Measured 0.93-0.96x XLA's emitter
-    # on the judged shapes (BASELINE.md r3), so NOT default — kept wired for
-    # whole-model A/B measurement and as the native-tier integration point.
+    # on TPU, =interpret for CPU tests). Measured (BASELINE.md r3): isolated
+    # kernel 0.93-1.10x XLA's emitter, but whole-model 0.83x (globe) — the
+    # opaque pallas_call blocks XLA from fusing the norm/act chains around
+    # the conv. NOT default; the XLA path is the measured-fastest
+    # composition. Kept wired as the native-tier integration point.
     _pc = _os.environ.get("BIASGAN_PALLAS_CONV", "")
     if (
         _pc

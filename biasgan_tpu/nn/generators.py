@@ -147,11 +147,15 @@ class ResNetBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, train: bool = False, ctx: Optional[SpatialCtx] = None
+        self,
+        x: Array,
+        train: bool = False,
+        ctx: Optional[SpatialCtx] = None,
+        fused_plan=None,
     ) -> Array:
         use_bias = norm_uses_bias(self.norm_type)
 
-        def conv(name: str, h: Array) -> Array:
+        def convmod(name: str) -> Conv2d:
             return Conv2d(
                 self.dim,
                 (3, 3),
@@ -163,7 +167,39 @@ class ResNetBlock(nn.Module):
                 init_gain=self.init_gain,
                 compute_dtype=self.compute_dtype,
                 name=name,
-            )(h, ctx)
+            )
+
+        def conv(name: str, h: Array) -> Array:
+            return convmod(name)(h, ctx)
+
+        if fused_plan is not None:
+            # Fused inference path (BIASGAN_FUSED_BLOCK=1, instance norm, no
+            # dropout): both convs run ops/pallas_conv.conv3x3_fused — SAME
+            # pad assembled in-kernel, norm0+ReLU applied as conv1's
+            # prologue, per-(N,C) moments emitted by the kernels — so the
+            # normalized activation and the pad copies never round-trip HBM.
+            # Only the final norm1 + residual add runs as one XLA
+            # elementwise pass. Semantics equal the unfused path (relu and
+            # the bf16 downcast commute; stats are f32 of the stored conv
+            # output exactly like instance_norm) — tests/unit/
+            # test_fused_block.py asserts equivalence.
+            from biasgan_tpu.ops.pallas_conv import instance_moments_to_affine
+
+            count = fused_plan.logical_h * x.shape[2]
+            y0, m0 = convmod("conv0")(
+                x, ctx, fused_plan=fused_plan, want_moments=True
+            )
+            a0, b0 = instance_moments_to_affine(*m0, count)
+            y1, m1 = convmod("conv1")(
+                y0, ctx, fused_plan=fused_plan, prologue=(a0, b0),
+                want_moments=True,
+            )
+            a1, b1 = instance_moments_to_affine(*m1, count)
+            yn = (
+                y1.astype(jnp.float32) * a1[:, None, None, :]
+                + b1[:, None, None, :]
+            ).astype(y1.dtype)
+            return yn + x
 
         h = conv("conv0", x)
         h = norm_act(h, self.norm_type, "norm0", train, ctx, activation="relu", dtype=self.compute_dtype)
@@ -193,6 +229,35 @@ class ResNetGenerator(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     compute_dtype: Any = None
+
+    def _fused_block_plan(self, h: Array, train: bool, ctx):
+        """Gate + plan for the fused resnet-block inference path
+        (BIASGAN_FUSED_BLOCK=1 on TPU, =interpret for CPU tests): instance
+        norm, eval mode, no dropout, unsharded, aligned W, C >= 128."""
+        import os
+
+        fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
+        if (
+            not fb
+            or train
+            or self.norm_type != "instance"
+            or self.use_dropout
+            or ctx is not None
+        ):
+            return None
+        if fb != "interpret" and jax.default_backend() != "tpu":
+            return None
+        _, hh, ww, cc = h.shape
+        if cc < int(os.environ.get("BIASGAN_FUSED_MIN_C", "128")):
+            return None
+        from biasgan_tpu.ops.pallas_conv import fused_block_plan
+
+        dt = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else h.dtype
+        )
+        return fused_block_plan(hh, ww, cc, cc, dt, fb == "interpret")
 
     @nn.compact
     def __call__(
@@ -238,6 +303,14 @@ class ResNetGenerator(nn.Module):
                 dtype=self.compute_dtype,
             )
         # residual blocks
+        fused_plan = self._fused_block_plan(h, train, ctx)
+        if fused_plan is not None and fused_plan.h_run > h.shape[1]:
+            # ceil-pad H once for the whole chain; fused kernels index the
+            # LOGICAL h so the tail rows are write-only garbage, sliced off
+            # below (the real full-globe H inside the blocks is 181, prime)
+            h = jnp.pad(
+                h, ((0, 0), (0, fused_plan.h_run - h.shape[1]), (0, 0), (0, 0))
+            )
         for i in range(self.n_blocks):
             h = ResNetBlock(
                 self.ngf * 4,
@@ -246,7 +319,9 @@ class ResNetGenerator(nn.Module):
                 w_mode=self.w_mode,
                 name=f"block{i}",
                 **common,
-            )(h, train, ctx)
+            )(h, train, ctx, fused_plan=fused_plan)
+        if fused_plan is not None and fused_plan.h_run > fused_plan.logical_h:
+            h = h[:, : fused_plan.logical_h]
         # upsample
         for i in range(2):
             h = ConvTranspose2d(

@@ -690,7 +690,15 @@ class Conv2d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, ctx: Optional[SpatialCtx] = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        ctx: Optional[SpatialCtx] = None,
+        *,
+        fused_plan=None,
+        prologue=None,
+        want_moments: bool = False,
+    ):
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
@@ -703,6 +711,26 @@ class Conv2d(nn.Module):
             if self.use_bias
             else None
         )
+        if fused_plan is not None:
+            # fused resnet-block path (ops/pallas_conv.conv3x3_fused):
+            # SAME pad in-kernel, optional instance-norm+ReLU prologue,
+            # optional output moments. Inference-only; gated by the caller.
+            from biasgan_tpu.ops.pallas_conv import conv3x3_fused
+
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+                kernel = kernel.astype(self.compute_dtype)
+            return conv3x3_fused(
+                x,
+                kernel,
+                bias,
+                prologue=prologue,
+                act_pre="relu",
+                plan=fused_plan,
+                h_mode=self.h_mode,
+                w_mode=self.w_mode,
+                want_moments=want_moments,
+            )
         return conv2d(
             x,
             kernel,

@@ -443,6 +443,391 @@ def _op_bwd(interpret, res, g):
 conv3x3_op.defvjp(_op_fwd, _op_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused resnet-block conv: SAME padding in-kernel + instance-norm prologue +
+# in-kernel moments — the traffic-reduction answer to the measured r3
+# whole-model fusion-barrier loss (BASELINE.md r3 finding 4).
+#
+# The r3 A/B showed the isolated kernel WINS 10% on the judged full-globe
+# shape but loses 17% whole-model because every pallas_call is a fusion
+# barrier: XLA materializes a separate pad copy before each kernel and a
+# separate normalize/relu elementwise pass after each one. This variant
+# removes BOTH round trips on the resnet-block chain:
+#
+#   * input is UNPADDED — the SAME-pad halo is assembled inside the kernel:
+#     3 row-group DMAs per tile (top halo row / main rows / bottom halo row,
+#     border rows resolved by INDEX arithmetic for reflect/wrap H) land in a
+#     (TH+2, W+16, C) scratch whose two 8-col side strips make every store
+#     sublane-aligned; the two pad COLUMNS (zero/wrap/reflect W) are two
+#     vector selects on the loaded value — no unaligned DMA, the r3 Mosaic
+#     lowering lessons respected;
+#   * the previous conv's instance-norm + ReLU ride in as a PROLOGUE: a
+#     per-(sample, channel) affine (a = rsqrt(var+eps), b = -mean*a) + ReLU
+#     applied to the tile while it is in VMEM — the normalized activation is
+#     never written to HBM;
+#   * each call can emit per-tile MOMENTS (sum, sum^2 over valid rows) as
+#     two tiny extra outputs reduced on the host side of the call — the
+#     next conv's prologue affine comes from them, so the separate
+#     stats-reduction read of the activation disappears too;
+#   * H need not divide the row tile: the chain runs on ceil-padded
+#     "h_run" buffers whose garbage tail rows are never read (the halo DMAs
+#     index the LOGICAL h), masked out of the moments in-kernel, and sliced
+#     off once at the end of the whole block chain (the real globe H inside
+#     the blocks is 181 — prime).
+#
+# Per conv link this turns [kernel write A, stats read A, pad+normalize
+# read A write A, kernel read A] into [kernel write A, kernel read A]:
+# 5 activation-sized HBM passes -> 2, on top of the kernel's measured 10%
+# isolated win at the globe shape. Wired via ResNetBlock/ResNetGenerator
+# (BIASGAN_FUSED_BLOCK=1), inference-only (no VJP), instance norm only.
+# ---------------------------------------------------------------------------
+
+
+class FusedBlockPlan:
+    """Static plan shared by every fused conv in one resnet-block chain."""
+
+    def __init__(self, logical_h: int, th: int, h_run: int, interpret: bool):
+        self.logical_h = logical_h
+        self.th = th
+        self.h_run = h_run
+        self.interpret = interpret
+
+    def __repr__(self):  # pragma: no cover
+        return (
+            f"FusedBlockPlan(h={self.logical_h}, th={self.th}, "
+            f"h_run={self.h_run}, interpret={self.interpret})"
+        )
+
+
+def fused_block_plan(
+    logical_h: int, w: int, c: int, cout: int, dtype, interpret: bool = False
+) -> Optional["FusedBlockPlan"]:
+    """Pick the row tile for ``conv3x3_fused`` at this shape, or None if the
+    shape is ineligible (W unaligned / too small)."""
+    if w < 8 or w % 8 != 0 or logical_h < 3:
+        return None
+    import os
+
+    th_env = int(os.environ.get("BIASGAN_FUSED_TH", "0"))
+    if th_env:
+        h_run = -(-logical_h // th_env) * th_env
+        return FusedBlockPlan(logical_h, th_env, h_run, interpret)
+    esize = jnp.dtype(dtype).itemsize
+    for th in (32, 16, 8, 4, 2):
+        need = (
+            2 * (th + 2) * (w + 16) * c * esize  # double-buffered input
+            + (th + 2) * (w + 16) * c * esize    # prologue'd value
+            + th * w * cout * 4                  # f32 accumulator
+            + 2 * th * w * cout * esize          # out blocks
+            + 9 * c * cout * esize               # weights
+        )
+        if need <= _VMEM_BUDGET:
+            h_run = -(-logical_h // th) * th
+            return FusedBlockPlan(logical_h, th, h_run, interpret)
+    return None
+
+
+def instance_moments_to_affine(
+    msum: Array, msq: Array, count: int, eps: float = 1e-5
+) -> Tuple[Array, Array]:
+    """(sum, sum^2) per (N, C) -> the instance-norm affine (a, b) with
+    y_norm = y*a + b. Matches nn.layers.instance_norm: f32 stats, biased
+    variance via max(E[x^2] - E[x]^2, 0)."""
+    mean = msum / count
+    var = jnp.maximum(msq / count - jnp.square(mean), 0.0)
+    a = jax.lax.rsqrt(var + eps)
+    return a, -mean * a
+
+
+def _fused_kernel(
+    x_hbm,      # (N, h_run, W, C) HBM, unpadded
+    w_ref,      # (9, C, Cout) VMEM
+    a_ref,      # (1, C) f32 VMEM block or None  (prologue scale)
+    pb_ref,     # (1, C) f32 VMEM block or None  (prologue shift)
+    b_ref,      # (1, Cout) VMEM or None         (conv bias)
+    out_ref,    # (1, TH, W, Cout) VMEM block
+    sum_ref,    # (1, 1, Cout) f32 block or None
+    sq_ref,     # (1, 1, Cout) f32 block or None
+    x_vmem,     # scratch (2, TH+2, W+16, C)
+    sems,       # DMA semaphores (2, 3)
+    *,
+    th: int,
+    n_h: int,
+    i_p: int,
+    k_last: int,
+    logical_h: int,
+    act_pre: str,
+    h_mode: str,
+    w_mode: str,
+    out_dtype,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * n_h + i
+    total = pl.num_programs(0) * n_h
+    w = out_ref.shape[2]
+    c = x_vmem.shape[3]
+
+    if h_mode == "reflect":
+        t0, b0 = 1, logical_h - 2
+    elif h_mode == "wrap":
+        t0, b0 = logical_h - 1, 0
+    else:  # zero: content replaced by a select below; any in-bounds row
+        t0, b0 = 0, logical_h - 1
+
+    def row_dmas(bb, ii, slot):
+        tsrc = jnp.where(ii == 0, t0, ii * th - 1)
+        bsrc = jnp.where(ii == i_p, b0, ii * th + th)
+        kdst = jnp.where(ii == i_p, k_last + 1, th + 1)
+        top = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tsrc, 1)],
+            x_vmem.at[slot, pl.ds(0, 1), pl.ds(8, w)],
+            sems.at[slot, 0],
+        )
+        bot = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(bsrc, 1)],
+            x_vmem.at[slot, pl.ds(kdst, 1), pl.ds(8, w)],
+            sems.at[slot, 1],
+        )
+        # main rows: the LAST logical tile loads only its k_last valid rows
+        # (a full-extent load would race the bottom-halo DMA on row k+1 and
+        # read past logical_h in spirit; garbage tail rows of the h_run
+        # buffer are never read)
+        main_partial = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, k_last)],
+            x_vmem.at[slot, pl.ds(1, k_last), pl.ds(8, w)],
+            sems.at[slot, 2],
+        )
+        main_full = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th)],
+            x_vmem.at[slot, pl.ds(1, th), pl.ds(8, w)],
+            sems.at[slot, 2],
+        )
+        return top, bot, main_partial, main_full, ii
+
+    def start(bb, ii, slot):
+        top, bot, mp, mf, _ = row_dmas(bb, ii, slot)
+        top.start()
+        bot.start()
+        if k_last == th:
+            mf.start()
+        else:
+            @pl.when(ii == i_p)
+            def _():
+                mp.start()
+
+            @pl.when(ii != i_p)
+            def _():
+                mf.start()
+
+    def wait(bb, ii, slot):
+        top, bot, mp, mf, _ = row_dmas(bb, ii, slot)
+        top.wait()
+        bot.wait()
+        if k_last == th:
+            mf.wait()
+        else:
+            @pl.when(ii == i_p)
+            def _():
+                mp.wait()
+
+            @pl.when(ii != i_p)
+            def _():
+                mf.wait()
+
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start(b, i, slot)
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        start(nstep // n_h, jax.lax.rem(nstep, n_h), nxt)
+
+    wait(b, i, slot)
+    x = x_vmem[slot]  # (TH+2, W+16, C)
+
+    if a_ref is not None:
+        xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
+        if act_pre == "relu":
+            xf = jnp.maximum(xf, 0.0)
+        elif act_pre == "lrelu":
+            xf = jnp.where(xf > 0, xf, 0.2 * xf)
+        elif act_pre != "none":
+            raise ValueError(f"unknown act_pre {act_pre!r}")
+        x = xf.astype(x_vmem.dtype)
+
+    # W pad columns: taps only ever read cols 7..8+w of the scratch; col 7
+    # is the left SAME-pad column and col 8+w the right one. All three pad
+    # modes are vector selects on the loaded (post-prologue) value.
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if w_mode == "zero":
+        x = jnp.where((col == 7) | (col == 8 + w), jnp.zeros_like(x), x)
+    else:
+        if w_mode == "wrap":
+            lsrc, rsrc = 7 + w, 8  # col -1 = col w-1; col w = col 0
+        elif w_mode == "reflect":
+            lsrc, rsrc = 9, 6 + w  # col -1 = col 1;   col w = col w-2
+        else:
+            raise ValueError(f"unknown w_mode {w_mode!r}")
+        left = jax.lax.slice_in_dim(x, lsrc, lsrc + 1, axis=1)
+        right = jax.lax.slice_in_dim(x, rsrc, rsrc + 1, axis=1)
+        x = jnp.where(col == 7, left, x)
+        x = jnp.where(col == 8 + w, right, x)
+
+    if h_mode == "zero":
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        kdst = jnp.where(i == i_p, k_last + 1, th + 1)
+        x = jnp.where((i == 0) & (row == 0), jnp.zeros_like(x), x)
+        x = jnp.where((i == i_p) & (row == kdst), jnp.zeros_like(x), x)
+
+    acc = jnp.zeros((th, w, out_ref.shape[3]), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            win = jax.lax.slice(
+                x, (dy, 7 + dx, 0), (dy + th, 7 + dx + w, c)
+            )
+            acc = acc + jax.lax.dot_general(
+                win,
+                w_ref[dy * 3 + dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    if b_ref is not None:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    y = acc.astype(out_dtype)
+    out_ref[0] = y
+
+    if sum_ref is not None:
+        # moments of the STORED (downcast) value, matching instance_norm's
+        # f32-of-stored-activation stats; garbage tail rows masked out
+        yf = y.astype(jnp.float32)
+        valid = jnp.where(i == i_p, k_last, th)
+        row3 = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 0)
+        yf = jnp.where(row3 < valid, yf, 0.0)
+        sum_ref[0, 0] = jnp.sum(yf, axis=(0, 1))
+        sq_ref[0, 0] = jnp.sum(yf * yf, axis=(0, 1))
+
+
+def conv3x3_fused(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array] = None,
+    prologue: Optional[Tuple[Array, Array]] = None,
+    act_pre: str = "relu",
+    plan: Optional[FusedBlockPlan] = None,
+    h_mode: str = "reflect",
+    w_mode: str = "wrap",
+    want_moments: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """SAME 3x3 s1 conv on an UNPADDED ``(N, h_run, W, C)`` input with
+    in-kernel halo assembly, an optional instance-norm+act prologue applied
+    to the input, and optional per-(N, C) output moments.
+
+    Returns ``y`` of shape (N, h_run, W, Cout) — rows >= plan.logical_h are
+    garbage (never read back by a fused consumer; slice them off after the
+    chain) — plus ``(sum, sumsq)`` f32 (N, Cout) when ``want_moments``.
+    """
+    n, hr, w, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3) and cin == c, (kernel.shape, x.shape)
+    assert plan is not None
+    th, n_h = plan.th, plan.h_run // plan.th
+    assert hr == plan.h_run, (hr, plan.h_run)
+    h = plan.logical_h
+    i_p = (h - 1) // th
+    assert i_p == n_h - 1, (i_p, n_h)
+    k_last = h - i_p * th
+    if interpret is None:
+        interpret = plan.interpret
+
+    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),   # x: manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+    ]
+    args = [x, w9]
+    if prologue is not None:
+        a, pb = prologue
+        spec_nc = pl.BlockSpec(
+            (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [spec_nc, spec_nc]
+        args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, cout).astype(jnp.float32))
+
+    out_spec = pl.BlockSpec(
+        (1, th, w, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((n, hr, w, cout), x.dtype)]
+    out_specs = [out_spec]
+    if want_moments:
+        mspec = pl.BlockSpec(
+            (1, 1, cout), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+        out_shapes += [jax.ShapeDtypeStruct((n, n_h, cout), jnp.float32)] * 2
+        out_specs += [mspec, mspec]
+
+    def kern(x_hbm, w_ref, *rest):
+        idx = 0
+        a_ref = pb_ref = b_ref = None
+        if prologue is not None:
+            a_ref, pb_ref = rest[idx], rest[idx + 1]
+            idx += 2
+        if bias is not None:
+            b_ref = rest[idx]
+            idx += 1
+        out_ref = rest[idx]
+        idx += 1
+        sum_ref = sq_ref = None
+        if want_moments:
+            sum_ref, sq_ref = rest[idx], rest[idx + 1]
+            idx += 2
+        x_vmem, sems = rest[idx], rest[idx + 1]
+        _fused_kernel(
+            x_hbm, w_ref, a_ref, pb_ref, b_ref, out_ref, sum_ref, sq_ref,
+            x_vmem, sems,
+            th=th, n_h=n_h, i_p=i_p, k_last=k_last, logical_h=h,
+            act_pre=act_pre if prologue is not None else "none",
+            h_mode=h_mode, w_mode=w_mode, out_dtype=x.dtype,
+        )
+
+    flops = 2 * n * h * w * c * cout * 9
+    bytes_accessed = (
+        n * h * w * c * x.dtype.itemsize
+        + w9.size * w9.dtype.itemsize
+        + n * h * w * cout * x.dtype.itemsize
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shapes),
+        grid=(n, n_h),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, w + 16, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+    if want_moments:
+        y, s, q = outs
+        return y, (jnp.sum(s, axis=1), jnp.sum(q, axis=1))
+    return outs[0]
+
+
 def reference_conv3x3(
     x: Array,
     kernel: Array,

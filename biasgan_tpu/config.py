@@ -80,6 +80,15 @@ class BaseConfig:
     aug_lon_roll: bool = False
     # generator output activation: 'tanh' (images) | 'none' (standardized fields)
     netG_activation: str = "tanh"
+    # fused resnet-block inference path (ops/pallas_conv.conv3x3_fused):
+    # route the residual-block chain through the Pallas fused conv kernels
+    # (in-kernel SAME pad + instance-norm prologue + in-kernel moments) and
+    # dispatch the generator as three jit calls (pre / blocks / post) so the
+    # opaque pallas calls never sit mid-graph (generators.ResNetGenerator
+    # ``stage``). Eligible: resnet G, instance norm, no dropout, eval mode,
+    # single chip (--spatial_mesh 1). Measured numbers: BASELINE.md r3
+    # fused-block section.
+    fused_blocks: bool = False
 
     def resolved_name(self) -> str:
         if self.suffix:

@@ -265,63 +265,79 @@ class ResNetGenerator(nn.Module):
         x: Array,
         train: bool = False,
         ctx: Optional[SpatialCtx] = None,
+        stage: str = "all",
     ) -> Array:
+        """``stage``: 'all' (default) | 'pre' (stem+downs) | 'blocks' |
+        'post' (ups+head). The staged entry points exist for the fused-block
+        inference path: running the three regions as SEPARATE jit calls
+        recovers the ~9 ms/field cross-region scheduling penalty XLA adds
+        when opaque pallas calls sit mid-graph (measured,
+        tools/bench_fused_block.py; async dispatch hides the extra enqueues).
+        Init with stage='all'; the stage calls reuse the same params."""
         use_bias = norm_uses_bias(self.norm_type)
         common = dict(
             init_type=self.init_type,
             init_gain=self.init_gain,
             compute_dtype=self.compute_dtype,
         )
-        # stem
-        h = Conv2d(
-            self.ngf,
-            (7, 7),
-            padding=(3, 3),
-            use_bias=use_bias,
-            h_mode="reflect",
-            w_mode=self.w_mode,
-            name="stem",
-            **common,
-        )(x, ctx)
-        h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu", dtype=self.compute_dtype)
-        # downsample (zero padding, reference semantics)
-        for i in range(2):
-            _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
-            zero_w = "zero" if self.w_mode != "wrap" else "wrap"
+        h = x
+        if stage in ("all", "pre"):
             h = Conv2d(
-                self.ngf * 2 ** (i + 1),
-                (3, 3),
-                strides=(2, 2),
-                padding=(1, 1),
+                self.ngf,
+                (7, 7),
+                padding=(3, 3),
                 use_bias=use_bias,
-                w_mode=zero_w,
-                name=f"down{i}",
+                h_mode="reflect",
+                w_mode=self.w_mode,
+                name="stem",
                 **common,
             )(h, ctx)
-            h = norm_act(
-                h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu",
-                dtype=self.compute_dtype,
-            )
-        # residual blocks
-        fused_plan = self._fused_block_plan(h, train, ctx)
-        if fused_plan is not None and fused_plan.h_run > h.shape[1]:
-            # ceil-pad H once for the whole chain; fused kernels index the
-            # LOGICAL h so the tail rows are write-only garbage, sliced off
-            # below (the real full-globe H inside the blocks is 181, prime)
-            h = jnp.pad(
-                h, ((0, 0), (0, fused_plan.h_run - h.shape[1]), (0, 0), (0, 0))
-            )
-        for i in range(self.n_blocks):
-            h = ResNetBlock(
-                self.ngf * 4,
-                norm_type=self.norm_type,
-                use_dropout=self.use_dropout,
-                w_mode=self.w_mode,
-                name=f"block{i}",
-                **common,
-            )(h, train, ctx, fused_plan=fused_plan)
-        if fused_plan is not None and fused_plan.h_run > fused_plan.logical_h:
-            h = h[:, : fused_plan.logical_h]
+            h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu", dtype=self.compute_dtype)
+            # downsample (zero padding, reference semantics)
+            for i in range(2):
+                _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
+                zero_w = "zero" if self.w_mode != "wrap" else "wrap"
+                h = Conv2d(
+                    self.ngf * 2 ** (i + 1),
+                    (3, 3),
+                    strides=(2, 2),
+                    padding=(1, 1),
+                    use_bias=use_bias,
+                    w_mode=zero_w,
+                    name=f"down{i}",
+                    **common,
+                )(h, ctx)
+                h = norm_act(
+                    h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu",
+                    dtype=self.compute_dtype,
+                )
+            if stage == "pre":
+                return h
+        if stage in ("all", "blocks"):
+            fused_plan = self._fused_block_plan(h, train, ctx)
+            logical_h = h.shape[1]
+            if fused_plan is not None and fused_plan.h_run > logical_h:
+                # ceil-pad H once for the whole chain; fused kernels index
+                # the LOGICAL h so the tail rows are write-only garbage,
+                # sliced off below (the real full-globe H inside the blocks
+                # is 181, prime)
+                h = jnp.pad(
+                    h,
+                    ((0, 0), (0, fused_plan.h_run - logical_h), (0, 0), (0, 0)),
+                )
+            for i in range(self.n_blocks):
+                h = ResNetBlock(
+                    self.ngf * 4,
+                    norm_type=self.norm_type,
+                    use_dropout=self.use_dropout,
+                    w_mode=self.w_mode,
+                    name=f"block{i}",
+                    **common,
+                )(h, train, ctx, fused_plan=fused_plan)
+            if fused_plan is not None and fused_plan.h_run > logical_h:
+                h = h[:, :logical_h]
+            if stage == "blocks":
+                return h
         # upsample
         for i in range(2):
             h = ConvTranspose2d(

@@ -708,8 +708,8 @@ def _fused_kernel(
         valid = jnp.where(i == i_p, k_last, th)
         row3 = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 0)
         yf = jnp.where(row3 < valid, yf, 0.0)
-        sum_ref[0, 0] = jnp.sum(yf, axis=(0, 1))
-        sq_ref[0, 0] = jnp.sum(yf * yf, axis=(0, 1))
+        sum_ref[0, 0, 0] = jnp.sum(yf, axis=(0, 1))
+        sq_ref[0, 0, 0] = jnp.sum(yf * yf, axis=(0, 1))
 
 
 def conv3x3_fused(
@@ -768,10 +768,16 @@ def conv3x3_fused(
     out_shapes = [jax.ShapeDtypeStruct((n, hr, w, cout), x.dtype)]
     out_specs = [out_spec]
     if want_moments:
+        # (n, n_h, 1, cout) so the block's last two dims (1, cout) EQUAL the
+        # array dims — Mosaic requires last-two block dims divisible by
+        # (8, 128) or equal to the array's
         mspec = pl.BlockSpec(
-            (1, 1, cout), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, 1, 1, cout), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-        out_shapes += [jax.ShapeDtypeStruct((n, n_h, cout), jnp.float32)] * 2
+        out_shapes += [
+            jax.ShapeDtypeStruct((n, n_h, 1, cout), jnp.float32)
+        ] * 2
         out_specs += [mspec, mspec]
 
     def kern(x_hbm, w_ref, *rest):
@@ -824,7 +830,7 @@ def conv3x3_fused(
     )(*args)
     if want_moments:
         y, s, q = outs
-        return y, (jnp.sum(s, axis=1), jnp.sum(q, axis=1))
+        return y, (jnp.sum(s, axis=(1, 2)), jnp.sum(q, axis=(1, 2)))
     return outs[0]
 
 

@@ -83,25 +83,71 @@ def main(argv=None):
 
     g_vars = jax.device_put(g_vars, NamedSharding(mesh, PartitionSpec()))
 
-    fwd = spatial_apply(
-        g_module, mesh, train=False, periodic=periodic, rdma=cfg.halo_rdma
-    )
-
     h_multiple = 2 ** generator_downs(cfg.netG)
 
     from biasgan_tpu.data.transforms import standardize
 
-    @jax.jit
-    def run(variables, x, a_mean, a_std, b_mean, b_std):
-        # standardize with source-domain stats (training-time semantics:
-        # prepare_batch does the same in-graph inside the train step),
-        # destandardize the corrected field to target-domain physical units
-        x = standardize(x, a_mean, a_std)
-        # latitude is not periodic: reflect-pad H; longitude wraps
-        xp, h0 = pad_to_multiple(x, h_multiple, axis=1, mode="reflect")
-        xp, w0 = pad_to_multiple(xp, multiple, axis=2, mode="wrap")
-        y = fwd(variables, xp)[:, :h0, :w0, :]
-        return standardize(y, b_mean, b_std, inverse=True)
+    use_fused = cfg.fused_blocks and n_spatial == 1 and cfg.netG.startswith(
+        "resnet"
+    )
+    if use_fused:
+        # Fused-block single-chip path: the residual-block chain runs the
+        # Pallas fused conv kernels (in-kernel SAME pad + instance-norm
+        # prologue + moments, ops/pallas_conv.py), and the generator is
+        # dispatched as THREE jit calls — stem+downs / blocks / ups+head —
+        # because a single jit with opaque pallas calls mid-graph carries a
+        # measured ~9 ms/field cross-region scheduling penalty (BASELINE.md
+        # r3 fused-block section; async dispatch hides the extra enqueues).
+        # Kernel engagement is still the generator's own eligibility gate
+        # (instance norm, no dropout, W%8, C>=128) — ineligible configs run
+        # this staged dispatch on the plain XLA path, same numerics.
+        os.environ.setdefault(
+            "BIASGAN_FUSED_BLOCK",
+            "1" if jax.default_backend() == "tpu" else "interpret",
+        )
+        from functools import partial
+
+        @jax.jit
+        def run_pre(variables, x, a_mean, a_std):
+            x = standardize(x, a_mean, a_std)
+            xp, _ = pad_to_multiple(x, h_multiple, axis=1, mode="reflect")
+            xp, _ = pad_to_multiple(xp, multiple, axis=2, mode="wrap")
+            return g_module.apply(variables, xp, False, stage="pre")
+
+        @jax.jit
+        def run_blocks(variables, h):
+            return g_module.apply(variables, h, False, stage="blocks")
+
+        @partial(jax.jit, static_argnames=("h0", "w0"))
+        def run_post(variables, h, b_mean, b_std, h0, w0):
+            y = g_module.apply(variables, h, False, stage="post")
+            return standardize(y[:, :h0, :w0, :], b_mean, b_std, inverse=True)
+
+        def run(variables, x, a_mean, a_std, b_mean, b_std):
+            h = run_pre(variables, x, a_mean, a_std)
+            h = run_blocks(variables, h)
+            return run_post(
+                variables, h, b_mean, b_std, x.shape[1], x.shape[2]
+            )
+
+    else:
+        fwd = spatial_apply(
+            g_module, mesh, train=False, periodic=periodic,
+            rdma=cfg.halo_rdma,
+        )
+
+        @jax.jit
+        def run(variables, x, a_mean, a_std, b_mean, b_std):
+            # standardize with source-domain stats (training-time semantics:
+            # prepare_batch does the same in-graph inside the train step),
+            # destandardize the corrected field to target-domain physical
+            # units
+            x = standardize(x, a_mean, a_std)
+            # latitude is not periodic: reflect-pad H; longitude wraps
+            xp, h0 = pad_to_multiple(x, h_multiple, axis=1, mode="reflect")
+            xp, w0 = pad_to_multiple(xp, multiple, axis=2, mode="wrap")
+            y = fwd(variables, xp)[:, :h0, :w0, :]
+            return standardize(y, b_mean, b_std, inverse=True)
 
     out_dir = os.path.join(cfg.results_dir, cfg.resolved_name(), "fields")
     os.makedirs(out_dir, exist_ok=True)

@@ -107,6 +107,26 @@ def test_full_globe_inference_bf16_close_to_f32(store):
     np.testing.assert_allclose(y_bf16, y_f32, rtol=2e-2, atol=1.0)
 
 
+def test_full_globe_inference_fused_blocks(store, monkeypatch):
+    """infer.py --fused_blocks: the staged (pre/blocks/post) dispatch with
+    the Pallas fused-block kernels (interpret mode on CPU) produces the same
+    corrected field as the plain single-jit XLA path."""
+    # monkeypatch so the env infer.main sets is restored after the test
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "interpret")
+    monkeypatch.setenv("BIASGAN_FUSED_MIN_C", "1")  # toy ngf=8 -> C=32
+    y_ref = _run(store, 1, "fused_ref")
+    out_dir = infer.main(
+        _common_args(store)
+        + [
+            "--full_field", "--num_test", "1",
+            "--spatial_mesh", "1", "--fused_blocks",
+            "--results_dir", str(store / "results_fused"),
+        ]
+    )
+    y_fused = np.load(os.path.join(out_dir, "corrected_00000.npy"))
+    np.testing.assert_allclose(y_fused, y_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_full_globe_inference_rdma_halo(store):
     """infer.py --halo_rdma: the Pallas RDMA ring transport produces the same
     corrected field as the ppermute transport (CPU interpreter mesh)."""

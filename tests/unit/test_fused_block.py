@@ -148,6 +148,35 @@ def test_resnet_generator_fused_matches_default(monkeypatch):
     )
 
 
+def test_resnet_generator_staged_matches_all(monkeypatch):
+    """pre -> blocks -> post staged execution (three separate apply calls,
+    same params) must equal the single stage='all' forward — on both the
+    default and the fused path. The staged entry points exist so the fused
+    inference path can run each region as its own jit call (generators.py
+    docstring: cross-region scheduling penalty)."""
+    from biasgan_tpu.nn.generators import ResNetGenerator
+
+    g = ResNetGenerator(
+        output_nc=3, ngf=8, n_blocks=2, norm_type="instance",
+        use_dropout=False, w_mode="wrap",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 13, 32, 3))
+    params = g.init(jax.random.PRNGKey(1), x)
+
+    for fused in (False, True):
+        if fused:
+            monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "interpret")
+            monkeypatch.setenv("BIASGAN_FUSED_MIN_C", "1")
+            monkeypatch.setenv("BIASGAN_FUSED_TH", "2")
+        want = g.apply(params, x)
+        h = g.apply(params, x, stage="pre")
+        h = g.apply(params, h, stage="blocks")
+        got = g.apply(params, h, stage="post")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_resnet_generator_fused_gates_off_in_train(monkeypatch):
     """Training (and dropout/batch-norm configs) must never take the fused
     inference path."""

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Fused resnet-block conv (ops/pallas_conv.conv3x3_fused) on the real chip:
+hardware parity vs the XLA composition, then link-level timing of the fused
+chain (conv+prologue+moments) against XLA's pad+conv+instance_norm+relu at
+the judged full-globe block shape (BASELINE.md r3 finding 4 follow-up).
+
+Usage: python tools/bench_fused_block.py [N H W C] [--iters K]
+Defaults to the globe block shape (1, 181, 360, 256) bf16.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from biasgan_tpu.nn.layers import instance_norm, pad_hw
+from biasgan_tpu.ops.pallas_conv import (
+    conv3x3_fused,
+    fused_block_plan,
+    instance_moments_to_affine,
+)
+
+
+def _ref_conv_same(x, kern, bias, h_mode, w_mode):
+    xp = pad_hw(x, (1, 1), (1, 1), h_mode, w_mode)
+    y = jax.lax.conv_general_dilated(
+        xp, kern.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("shape", nargs="*", type=int, default=[1, 181, 360, 256])
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="also time an N-block residual chain (whole-model "
+                    "composition probe: block boundaries included)")
+    ap.add_argument("--prepost", action="store_true",
+                    help="time the standalone stem+downs / ups+head regions "
+                    "of the globe G instead (non-block budget)")
+    args = ap.parse_args()
+    if args.prepost:
+        print(f"backend={jax.default_backend()}")
+        bench_prepost(args.iters)
+        return
+    n, h, w, c = args.shape or [1, 181, 360, 256]
+    dt = jnp.dtype(args.dtype)
+    print(f"backend={jax.default_backend()} shape=({n},{h},{w},{c}) {dt}")
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (n, h, w, c), dt)
+    kern = (jax.random.normal(k2, (3, 3, c, c)) * 0.05).astype(dt)
+    bias = jax.random.normal(k3, (c,), jnp.float32) * 0.1
+
+    plan = fused_block_plan(h, w, c, c, dt, interpret=False)
+    print(f"plan: {plan}")
+    xr = jnp.pad(x, ((0, 0), (0, plan.h_run - h), (0, 0), (0, 0)))
+
+    # --- hardware parity -------------------------------------------------
+    @jax.jit
+    def fused_link(xr, kern, bias):
+        y0, m0 = conv3x3_fused(
+            xr, kern, bias, plan=plan, h_mode="reflect", w_mode="wrap",
+            want_moments=True,
+        )
+        a0, b0 = instance_moments_to_affine(*m0, h * w)
+        y1, m1 = conv3x3_fused(
+            y0, kern, bias, prologue=(a0, b0), act_pre="relu", plan=plan,
+            h_mode="reflect", w_mode="wrap", want_moments=True,
+        )
+        return y1, m1
+
+    @jax.jit
+    def xla_link(x, kern, bias):
+        y0 = _ref_conv_same(x, kern, bias, "reflect", "wrap")
+        z = jax.nn.relu(instance_norm(y0))
+        y1 = _ref_conv_same(z, kern, bias, "reflect", "wrap")
+        return y1
+
+    y1f, _ = fused_link(xr, kern, bias)
+    y1x = xla_link(x, kern, bias)
+    d = np.abs(
+        np.asarray(y1f[:, :h], np.float32) - np.asarray(y1x, np.float32)
+    )
+    scale = float(np.abs(np.asarray(y1x, np.float32)).max())
+    print(f"parity: max abs diff {d.max():.3e} (ref max {scale:.3e})")
+    if d.max() > max(2e-2 * scale, 5e-2):
+        print("PARITY FAIL — do not trust timings")
+        sys.exit(1)
+
+    # --- timing ----------------------------------------------------------
+    def timeit(fn, *a):
+        out = fn(*a)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        return (time.perf_counter() - t0) / args.iters
+
+    tf = timeit(fused_link, xr, kern, bias)
+    tx = timeit(xla_link, x, kern, bias)
+    fl = 2 * 2 * n * h * w * c * c * 9  # two convs
+    print(
+        f"fused link : {tf*1e3:7.3f} ms  {fl/tf/1e12:6.1f} TF/s\n"
+        f"xla link   : {tx*1e3:7.3f} ms  {fl/tx/1e12:6.1f} TF/s\n"
+        f"speedup    : {tx/tf:5.2f}x"
+    )
+
+    if args.chain:
+        nb = args.chain
+
+        @jax.jit
+        def fused_chain(xr, kern, bias):
+            hh = xr
+            for _ in range(nb):
+                y0, m0 = conv3x3_fused(
+                    hh, kern, bias, plan=plan, h_mode="reflect",
+                    w_mode="wrap", want_moments=True,
+                )
+                a0, b0 = instance_moments_to_affine(*m0, h * w)
+                y1, m1 = conv3x3_fused(
+                    y0, kern, bias, prologue=(a0, b0), act_pre="relu",
+                    plan=plan, h_mode="reflect", w_mode="wrap",
+                    want_moments=True,
+                )
+                a1, b1 = instance_moments_to_affine(*m1, h * w)
+                hh = (
+                    y1.astype(jnp.float32) * a1[:, None, None, :]
+                    + b1[:, None, None, :]
+                ).astype(y1.dtype) + hh
+            return hh
+
+        @jax.jit
+        def xla_chain(x, kern, bias):
+            hh = x
+            for _ in range(nb):
+                y0 = _ref_conv_same(hh, kern, bias, "reflect", "wrap")
+                z = jax.nn.relu(instance_norm(y0))
+                y1 = _ref_conv_same(z, kern, bias, "reflect", "wrap")
+                hh = instance_norm(y1) + hh
+            return hh
+
+        tfc = timeit(fused_chain, xr, kern, bias)
+        txc = timeit(xla_chain, x, kern, bias)
+        flc = 2 * 2 * n * h * w * c * c * 9 * nb
+        print(
+            f"fused {nb}-block chain : {tfc*1e3:7.3f} ms "
+            f"{flc/tfc/1e12:6.1f} TF/s\n"
+            f"xla   {nb}-block chain : {txc*1e3:7.3f} ms "
+            f"{flc/txc/1e12:6.1f} TF/s\n"
+            f"chain speedup      : {txc/tfc:5.2f}x"
+        )
+
+
+def bench_prepost(iters: int):
+    """Standalone stem+downs ('pre') and ups+head ('post') of the globe
+    resnet_9blocks G — the NON-block budget. Compares against
+    (whole-model time - block-chain time) to expose any cross-region
+    slowdown XLA introduces when opaque pallas calls sit between them."""
+    from flax import linen as nn_
+    from biasgan_tpu.nn.layers import Conv2d, ConvTranspose2d, norm_act
+
+    cd = jnp.bfloat16
+
+    class Pre(nn_.Module):
+        @nn_.compact
+        def __call__(self, x):
+            h = Conv2d(64, (7, 7), padding=(3, 3), h_mode="reflect",
+                       w_mode="wrap", compute_dtype=cd, name="stem")(x)
+            h = norm_act(h, "instance", "sn", activation="relu", dtype=cd)
+            for i in range(2):
+                h = Conv2d(64 * 2 ** (i + 1), (3, 3), strides=(2, 2),
+                           padding=(1, 1), w_mode="wrap", compute_dtype=cd,
+                           name=f"down{i}")(h)
+                h = norm_act(h, "instance", f"dn{i}", activation="relu",
+                             dtype=cd)
+            return h
+
+    class Post(nn_.Module):
+        @nn_.compact
+        def __call__(self, h):
+            for i in range(2):
+                h = ConvTranspose2d(64 * 2 ** (1 - i), (3, 3), strides=(2, 2),
+                                    padding=(1, 1), output_padding=(1, 1),
+                                    w_mode="wrap", compute_dtype=cd,
+                                    name=f"up{i}")(h)
+                h = norm_act(h, "instance", f"un{i}", activation="relu",
+                             dtype=cd)
+            return Conv2d(3, (7, 7), padding=(3, 3), h_mode="reflect",
+                          w_mode="wrap", compute_dtype=cd, name="head")(h)
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 724, 1440, 3))
+    pre = Pre()
+    vp = pre.init(jax.random.PRNGKey(1), x)
+    t_pre = timeit(jax.jit(pre.apply), vp, x)
+    hmid = jax.random.normal(jax.random.PRNGKey(2), (1, 181, 360, 256),
+                             jnp.bfloat16)
+    post = Post()
+    vq = post.init(jax.random.PRNGKey(3), hmid)
+    t_post = timeit(jax.jit(post.apply), vq, hmid)
+    print(f"pre (stem+downs)   : {t_pre*1e3:7.3f} ms\n"
+          f"post (ups+head)    : {t_post*1e3:7.3f} ms\n"
+          f"pre+post           : {(t_pre+t_post)*1e3:7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

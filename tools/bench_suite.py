@@ -112,9 +112,12 @@ def bench_cyclegan(steps: int, batch: int = 8, dtype: str = "bfloat16"):
             "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
 
 
-def bench_globe(steps: int, dtype: str = "bfloat16"):
+def bench_globe(steps: int, dtype: str = "bfloat16", staged: bool = False):
     """Full-globe 721x1440 single-chip inference (resnet_9blocks G, 3ch),
-    one jitted call, periodic longitude."""
+    periodic longitude. ``staged`` runs stem+downs / blocks / ups+head as
+    three separate jit calls (generators.py ``stage``) — the dispatch pattern
+    the fused-block pallas path needs to avoid XLA's cross-region scheduling
+    penalty (async dispatch hides the extra enqueues)."""
     from biasgan_tpu.nn import define_G, init_params
     from biasgan_tpu.parallel import pad_to_multiple
 
@@ -124,11 +127,25 @@ def bench_globe(steps: int, dtype: str = "bfloat16"):
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 721, 1440, 3))
     v = init_params(G, jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
 
-    @jax.jit
-    def run(v, x):
-        xp, h0 = pad_to_multiple(x, 4, axis=1, mode="reflect")
-        y = G.apply(v, xp, False)
-        return y[:, :h0]
+    if staged:
+        from functools import partial
+
+        @partial(jax.jit, static_argnames="stage")
+        def run_stage(v, h, stage):
+            return G.apply(v, h, False, stage=stage)
+
+        def run(v, x):
+            xp, h0 = pad_to_multiple(x, 4, axis=1, mode="reflect")
+            h = run_stage(v, xp, "pre")
+            h = run_stage(v, h, "blocks")
+            return run_stage(v, h, "post")[:, : x.shape[1]]
+    else:
+
+        @jax.jit
+        def run(v, x):
+            xp, h0 = pad_to_multiple(x, 4, axis=1, mode="reflect")
+            y = G.apply(v, xp, False)
+            return y[:, :h0]
 
     y = run(v, x); _sync(y)
     t0 = time.perf_counter()
@@ -137,7 +154,12 @@ def bench_globe(steps: int, dtype: str = "bfloat16"):
     _sync(y)
     dt = (time.perf_counter() - t0) / steps
     mpx = 721 * 1440 / dt / 1e6
-    return {"metric": "globe_721x1440_inference", "value": round(mpx, 1),
+    import os
+
+    fused = bool(os.environ.get("BIASGAN_FUSED_BLOCK"))
+    name = "globe_721x1440_inference" + ("_fused" if fused else "") + (
+        "_staged" if staged else "")
+    return {"metric": name, "value": round(mpx, 1),
             "unit": "Mpx/sec/chip", "dtype": dtype,
             "ms_per_field": round(dt * 1e3, 1)}
 
@@ -158,6 +180,8 @@ def main():
             r = bench_cyclegan(args.steps)
         elif c == "globe":
             r = bench_globe(max(args.steps // 4, 3))
+        elif c == "globe_staged":
+            r = bench_globe(max(args.steps // 4, 3), staged=True)
         else:
             raise SystemExit(f"unknown config {c}")
         print(json.dumps(r), flush=True)

@@ -259,6 +259,49 @@ class ResNetGenerator(nn.Module):
         )
         return fused_block_plan(hh, ww, cc, cc, dt, fb == "interpret")
 
+    def _fused_updown_plans(self, h: Array, train: bool, ctx, which: str):
+        """Gate + plans for the fused down/up paths (same BIASGAN_FUSED_BLOCK
+        opt-in as the block chain): ``which='down'`` takes the STEM INPUT
+        shape and returns (down0, down1) conv3x3s2 plans; ``which='up'``
+        takes the block-resolution shape and returns (up0, up1) convt plans.
+        None -> XLA default path."""
+        import os
+
+        fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
+        if not fb or train or self.norm_type != "instance" or ctx is not None:
+            return None
+        if fb != "interpret" and jax.default_backend() != "tpu":
+            return None
+        # gate on the largest channel width in the chain (ngf*4), the same
+        # knob the block gate uses (BIASGAN_FUSED_MIN_C, default 128)
+        if self.ngf * 4 < int(os.environ.get("BIASGAN_FUSED_MIN_C", "128")):
+            return None
+        from biasgan_tpu.ops.pallas_conv import (
+            conv3x3s2_plan,
+            convt3x3s2_plan,
+        )
+
+        interp = fb == "interpret"
+        dt = (
+            jnp.dtype(self.compute_dtype)
+            if self.compute_dtype is not None
+            else h.dtype
+        )
+        _, hh, ww, _ = h.shape
+        if which == "down":
+            if hh % 4 or ww % 4:
+                return None
+            p0 = conv3x3s2_plan(hh, ww, self.ngf, self.ngf * 2, dt, interp)
+            p1 = conv3x3s2_plan(
+                hh // 2, ww // 2, self.ngf * 2, self.ngf * 4, dt, interp
+            )
+            return None if p0 is None or p1 is None else (p0, p1)
+        q0 = convt3x3s2_plan(hh, ww, self.ngf * 4, self.ngf * 2, dt, interp)
+        q1 = convt3x3s2_plan(
+            2 * hh, 2 * ww, self.ngf * 2, self.ngf, dt, interp
+        )
+        return None if q0 is None or q1 is None else (q0, q1)
+
     @nn.compact
     def __call__(
         self,
@@ -281,7 +324,9 @@ class ResNetGenerator(nn.Module):
             compute_dtype=self.compute_dtype,
         )
         h = x
+        zero_w = "zero" if self.w_mode != "wrap" else "wrap"
         if stage in ("all", "pre"):
+            down_plans = self._fused_updown_plans(h, train, ctx, "down")
             h = Conv2d(
                 self.ngf,
                 (7, 7),
@@ -292,12 +337,9 @@ class ResNetGenerator(nn.Module):
                 name="stem",
                 **common,
             )(h, ctx)
-            h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu", dtype=self.compute_dtype)
-            # downsample (zero padding, reference semantics)
-            for i in range(2):
-                _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
-                zero_w = "zero" if self.w_mode != "wrap" else "wrap"
-                h = Conv2d(
+
+            def down_mod(i: int) -> Conv2d:
+                return Conv2d(
                     self.ngf * 2 ** (i + 1),
                     (3, 3),
                     strides=(2, 2),
@@ -306,11 +348,47 @@ class ResNetGenerator(nn.Module):
                     w_mode=zero_w,
                     name=f"down{i}",
                     **common,
-                )(h, ctx)
-                h = norm_act(
-                    h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu",
-                    dtype=self.compute_dtype,
                 )
+
+            if down_plans is not None:
+                # Fused down path: the stem's instance-norm+ReLU rides into
+                # down0 as a prologue (stats fused into the stem conv's
+                # epilogue by XLA), down0's norm rides into down1, and only
+                # down1's norm runs as one XLA affine pass — each
+                # activation crosses HBM once (ops/pallas_conv.py,
+                # conv3x3s2_fused).
+                from biasgan_tpu.ops.pallas_conv import (
+                    instance_moments_to_affine,
+                )
+
+                hf = h.astype(jnp.float32)
+                a, b = instance_moments_to_affine(
+                    hf.sum((1, 2)), (hf * hf).sum((1, 2)),
+                    h.shape[1] * h.shape[2],
+                )
+                for i in range(2):
+                    h, m = down_mod(i)(
+                        h, ctx, fused_s2_plan=down_plans[i],
+                        prologue=(a, b), want_moments=True,
+                    )
+                    a, b = instance_moments_to_affine(
+                        *m, h.shape[1] * h.shape[2]
+                    )
+                h = jnp.maximum(
+                    h.astype(jnp.float32) * a[:, None, None, :]
+                    + b[:, None, None, :],
+                    0.0,
+                ).astype(h.dtype)
+            else:
+                h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu", dtype=self.compute_dtype)
+                # downsample (zero padding, reference semantics)
+                for i in range(2):
+                    _check_spatial(ctx, h.shape[2], 2, f"resnet down{i}")
+                    h = down_mod(i)(h, ctx)
+                    h = norm_act(
+                        h, self.norm_type, f"down_norm{i}", train, ctx, activation="relu",
+                        dtype=self.compute_dtype,
+                    )
             if stage == "pre":
                 return h
         if stage in ("all", "blocks"):
@@ -339,8 +417,10 @@ class ResNetGenerator(nn.Module):
             if stage == "blocks":
                 return h
         # upsample
-        for i in range(2):
-            h = ConvTranspose2d(
+        up_plans = self._fused_updown_plans(h, train, ctx, "up")
+
+        def up_mod(i: int) -> ConvTranspose2d:
+            return ConvTranspose2d(
                 self.ngf * 2 ** (1 - i),
                 (3, 3),
                 strides=(2, 2),
@@ -350,11 +430,36 @@ class ResNetGenerator(nn.Module):
                 w_mode="wrap" if self.w_mode == "wrap" else "zero",
                 name=f"up{i}",
                 **common,
-            )(h, ctx)
-            h = norm_act(
-                h, self.norm_type, f"up_norm{i}", train, ctx, activation="relu",
-                dtype=self.compute_dtype,
             )
+
+        if up_plans is not None:
+            # Fused up path (ops/pallas_conv.convt3x3s2_fused): up0's norm
+            # rides into up1 as a prologue; up1's norm runs as one XLA
+            # affine pass fused into the phase-interleave stack.
+            from biasgan_tpu.ops.pallas_conv import instance_moments_to_affine
+
+            a = b = None
+            for i in range(2):
+                prologue = None if a is None else (a, b)
+                h, m = up_mod(i)(
+                    h, ctx, fused_plan=up_plans[i], prologue=prologue,
+                    want_moments=True,
+                )
+                a, b = instance_moments_to_affine(
+                    *m, h.shape[1] * h.shape[2]
+                )
+            h = jnp.maximum(
+                h.astype(jnp.float32) * a[:, None, None, :]
+                + b[:, None, None, :],
+                0.0,
+            ).astype(h.dtype)
+        else:
+            for i in range(2):
+                h = up_mod(i)(h, ctx)
+                h = norm_act(
+                    h, self.norm_type, f"up_norm{i}", train, ctx, activation="relu",
+                    dtype=self.compute_dtype,
+                )
         # head
         h = Conv2d(
             self.output_nc,

@@ -696,6 +696,7 @@ class Conv2d(nn.Module):
         ctx: Optional[SpatialCtx] = None,
         *,
         fused_plan=None,
+        fused_s2_plan=None,
         prologue=None,
         want_moments: bool = False,
     ):
@@ -711,6 +712,26 @@ class Conv2d(nn.Module):
             if self.use_bias
             else None
         )
+        if fused_s2_plan is not None:
+            # fused stride-2 down path (ops/pallas_conv.conv3x3s2_fused):
+            # phase-plane MXU taps, optional instance-norm+ReLU prologue,
+            # output moments. Inference-only; gated by the caller.
+            assert self.strides == (2, 2) and (kh, kw) == (3, 3)
+            from biasgan_tpu.ops.pallas_conv import conv3x3s2_fused
+
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+                kernel = kernel.astype(self.compute_dtype)
+            return conv3x3s2_fused(
+                x,
+                kernel,
+                bias,
+                prologue=prologue,
+                act_pre="relu",
+                plan=fused_s2_plan,
+                w_mode=self.w_mode,
+                want_moments=want_moments,
+            )
         if fused_plan is not None:
             # fused resnet-block path (ops/pallas_conv.conv3x3_fused):
             # SAME pad in-kernel, optional instance-norm+ReLU prologue,
@@ -760,7 +781,15 @@ class ConvTranspose2d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, ctx: Optional[SpatialCtx] = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        ctx: Optional[SpatialCtx] = None,
+        *,
+        fused_plan=None,
+        prologue=None,
+        want_moments: bool = False,
+    ):
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
@@ -773,6 +802,39 @@ class ConvTranspose2d(nn.Module):
             if self.use_bias
             else None
         )
+        if fused_plan is not None:
+            # fused up path (ops/pallas_conv.convt3x3s2_fused): torch
+            # convT(3, s2, p1, op1) phase-decomposed on the MXU, optional
+            # instance-norm+ReLU prologue, output moments; the phase
+            # interleave is one XLA stack pass. Inference-only, caller-gated.
+            assert (kh, kw) == (3, 3) and self.strides == (2, 2)
+            assert self.padding == (1, 1) and self.output_padding == (1, 1)
+            from biasgan_tpu.ops.pallas_conv import (
+                convt3x3s2_fused,
+                interleave_phases,
+            )
+
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+                kernel = kernel.astype(self.compute_dtype)
+            if x.shape[1] < fused_plan.h_run:
+                x = jnp.pad(
+                    x,
+                    ((0, 0), (0, fused_plan.h_run - x.shape[1]),
+                     (0, 0), (0, 0)),
+                )
+            phases, moments = convt3x3s2_fused(
+                x,
+                kernel,
+                bias,
+                prologue=prologue,
+                act_pre="relu",
+                plan=fused_plan,
+                w_mode="wrap" if self.w_mode == "wrap" else "zero",
+                want_moments=want_moments,
+            )
+            y = interleave_phases(phases, fused_plan.logical_h)
+            return (y, moments) if want_moments else y
         return conv_transpose2d(
             x,
             kernel,

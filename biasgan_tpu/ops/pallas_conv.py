@@ -834,6 +834,641 @@ def conv3x3_fused(
     return outs[0]
 
 
+# ---------------------------------------------------------------------------
+# Fused transposed conv (k3 s2 p1 op1) — the globe G's up-path, phase-
+# decomposed for the MXU.
+#
+# The r3 per-layer cost analysis (tools/bench_fused_block.py --layers) showed
+# the pre/post regions of the globe generator moving ~13 GB where the pure
+# in/out tensors are ~1.2 GB: XLA materializes the stride-dilated input
+# (75% zeros at s=2), the wrap-pad copy, the f32 conv output, and 3 more
+# passes for the instance norm — and at 569 GB/s that IS the 21 ms those
+# regions cost. This kernel is the up-layer answer, same recipe as
+# conv3x3_fused: read the input tile once (prologue'd in VMEM), 9 MXU tap
+# contractions, write each output once.
+#
+# torch ConvTranspose2d(3, stride=2, padding=1, output_padding=1) decomposes
+# into 4 OUTPUT PHASES, each a dense stride-1 conv of the UNDILATED input
+# (y[i*2-1+ky, j*2-1+kx] += x[i,j] * W[ky,kx]):
+#
+#   out(2m,   2j)   = W[1,1]·x[m,j]
+#   out(2m,   2j+1) = W[1,0]·x[m,j+1] + W[1,2]·x[m,j]
+#   out(2m+1, 2j)   = W[0,1]·x[m+1,j] + W[2,1]·x[m,j]
+#   out(2m+1, 2j+1) = W[0,0]·x[m+1,j+1] + W[0,2]·x[m+1,j]
+#                   + W[2,0]·x[m,j+1]   + W[2,2]·x[m,j]
+#
+# — 9 taps total (every kernel element used once), halos only at the BOTTOM
+# row (zero, the torch H pad) and RIGHT column (wrap for periodic longitude,
+# else zero). The kernel emits the 4 phases as separate clean-block outputs;
+# `interleave_phases` reassembles (n, 2h, 2w, c) with ONE XLA stack pass
+# whose final (n,h,2,w,2,c)->(n,2h,2w,c) reshape is contiguous (free), and
+# XLA fuses the consumer's affine/activation into that same pass.
+# ---------------------------------------------------------------------------
+
+
+def _convt_kernel(
+    x_hbm,      # (N, h_run, W, C) HBM, unpadded
+    w_ref,      # (9, C, Cout) VMEM — [ky*3+kx] torch-layout taps
+    a_ref,      # (1, C) f32 VMEM or None (prologue scale)
+    pb_ref,     # (1, C) f32 VMEM or None (prologue shift)
+    b_ref,      # (1, Cout) VMEM or None (convT bias)
+    out_refs,   # 4 x (1, TH, W, Cout) VMEM blocks: ee, eo, oe, oo
+    sum_ref,    # (1, 1, 1, Cout) f32 block or None
+    sq_ref,     # (1, 1, 1, Cout) f32 block or None
+    x_vmem,     # scratch (2, TH+1, W+8, C)
+    sems,       # DMA semaphores (2, 2)
+    *,
+    th: int,
+    n_h: int,
+    i_p: int,
+    k_last: int,
+    logical_h: int,
+    act_pre: str,
+    w_mode: str,
+    out_dtype,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * n_h + i
+    total = pl.num_programs(0) * n_h
+    w = out_refs[0].shape[2]
+    c = x_vmem.shape[3]
+    h_run = n_h * th
+
+    def dmas(bb, ii, slot):
+        main = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th)],
+            x_vmem.at[slot, pl.ds(0, th), pl.ds(0, w)],
+            sems.at[slot, 0],
+        )
+        # bottom halo row i*th+th; clamp the source for the last tile (the
+        # loaded value is zero-masked below whenever its global row falls at
+        # or beyond logical_h, so the clamped duplicate is never read)
+        hsrc = jnp.minimum(ii * th + th, h_run - 1)
+        halo = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(hsrc, 1)],
+            x_vmem.at[slot, pl.ds(th, 1), pl.ds(0, w)],
+            sems.at[slot, 1],
+        )
+        return main, halo
+
+    def start(bb, ii, slot):
+        m, h_ = dmas(bb, ii, slot)
+        m.start()
+        h_.start()
+
+    def wait(bb, ii, slot):
+        m, h_ = dmas(bb, ii, slot)
+        m.wait()
+        h_.wait()
+
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start(b, i, slot)
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        start(nstep // n_h, jax.lax.rem(nstep, n_h), nxt)
+
+    wait(b, i, slot)
+    x = x_vmem[slot]  # (TH+1, W+8, C)
+
+    if a_ref is not None:
+        xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
+        if act_pre == "relu":
+            xf = jnp.maximum(xf, 0.0)
+        elif act_pre == "lrelu":
+            xf = jnp.where(xf > 0, xf, 0.2 * xf)
+        elif act_pre != "none":
+            raise ValueError(f"unknown act_pre {act_pre!r}")
+        x = xf.astype(x_vmem.dtype)
+
+    # zero every row at/beyond logical_h (garbage h_run tail AND the torch
+    # zero H-pad row the m+1 taps read past the bottom edge)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where(row + i * th >= logical_h, jnp.zeros_like(x), x)
+
+    # right halo column: col w = col 0 (wrap) or zero; taps read cols 0..w
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if w_mode == "wrap":
+        left = jax.lax.slice_in_dim(x, 0, 1, axis=1)
+        x = jnp.where(col == w, left, x)
+    elif w_mode == "zero":
+        x = jnp.where(col == w, jnp.zeros_like(x), x)
+    else:
+        raise ValueError(f"unknown w_mode {w_mode!r}")
+
+    def win(dy, dx):  # (TH, W, C) window at row shift dy, col shift dx
+        return jax.lax.slice(x, (dy, dx, 0), (dy + th, dx + w, c))
+
+    def dot(v, t):
+        return jax.lax.dot_general(
+            v, w_ref[t],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    xm, xm_j1 = win(0, 0), win(0, 1)
+    xm1, xm1_j1 = win(1, 0), win(1, 1)
+    ee = dot(xm, 4)                                     # W[1,1]
+    eo = dot(xm_j1, 3) + dot(xm, 5)                     # W[1,0], W[1,2]
+    oe = dot(xm1, 1) + dot(xm, 7)                       # W[0,1], W[2,1]
+    oo = dot(xm1_j1, 0) + dot(xm1, 2) + dot(xm_j1, 6) + dot(xm, 8)
+
+    phases = (ee, eo, oe, oo)
+    if b_ref is not None:
+        phases = tuple(p + b_ref[0].astype(jnp.float32) for p in phases)
+    ys = tuple(p.astype(out_dtype) for p in phases)
+    for ref, y in zip(out_refs, ys):
+        ref[0] = y
+
+    if sum_ref is not None:
+        valid = jnp.where(i == i_p, k_last, th)
+        s = jnp.zeros((phases[0].shape[2],), jnp.float32)
+        q = jnp.zeros_like(s)
+        for y in ys:
+            yf = y.astype(jnp.float32)
+            r3 = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 0)
+            yf = jnp.where(r3 < valid, yf, 0.0)
+            s = s + jnp.sum(yf, axis=(0, 1))
+            q = q + jnp.sum(yf * yf, axis=(0, 1))
+        sum_ref[0, 0, 0] = s
+        sq_ref[0, 0, 0] = q
+
+
+def convt3x3s2_plan(
+    logical_h: int, w: int, c: int, cout: int, dtype, interpret: bool = False
+) -> Optional["FusedBlockPlan"]:
+    """Row-tile plan for ``convt3x3s2_fused`` (input-space rows)."""
+    if w < 8 or w % 8 != 0 or logical_h < 2:
+        return None
+    import os
+
+    th_env = int(os.environ.get("BIASGAN_FUSED_TH", "0"))
+    esize = jnp.dtype(dtype).itemsize
+    for th in ((th_env,) if th_env else (32, 16, 8, 4, 2)):
+        need = (
+            2 * (th + 1) * (w + 8) * c * esize   # double-buffered input
+            + (th + 1) * (w + 8) * c * esize     # prologue'd value
+            + 4 * th * w * cout * 4              # 4 f32 phase accumulators
+            + 4 * th * w * cout * esize          # 4 out blocks
+            + 9 * c * cout * esize               # weights
+        )
+        if th_env or need <= _VMEM_BUDGET:
+            h_run = -(-logical_h // th) * th
+            return FusedBlockPlan(logical_h, th, h_run, interpret)
+    return None
+
+
+def convt3x3s2_fused(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array] = None,
+    prologue: Optional[Tuple[Array, Array]] = None,
+    act_pre: str = "relu",
+    plan: Optional[FusedBlockPlan] = None,
+    w_mode: str = "wrap",
+    want_moments: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """torch ``ConvTranspose2d(3, stride=2, padding=1, output_padding=1)``
+    (H zero pad, W ``w_mode``) on an UNPADDED (N, h_run, W, C) input, with an
+    optional instance-norm+act prologue and per-(N, Cout) output moments.
+
+    Returns ``(ee, eo, oe, oo)`` phase tensors of shape (N, h_run, W, Cout)
+    — rows >= plan.logical_h are garbage; assemble the (N, 2h, 2W, Cout)
+    output with ``interleave_phases`` — plus ``(sum, sumsq)`` f32 (N, Cout)
+    of the full 2h x 2W output when ``want_moments``.
+    ``kernel`` is HWIO in the torch layout (kernel[ky, kx, ic, oc]), exactly
+    what ``nn/layers.py::conv_transpose2d`` takes (NO pre-flipping).
+    """
+    n, hr, w, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3) and cin == c, (kernel.shape, x.shape)
+    assert plan is not None
+    th, n_h = plan.th, plan.h_run // plan.th
+    assert hr == plan.h_run, (hr, plan.h_run)
+    h = plan.logical_h
+    i_p = (h - 1) // th
+    assert i_p == n_h - 1, (i_p, n_h)
+    k_last = h - i_p * th
+    if interpret is None:
+        interpret = plan.interpret
+
+    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),   # x: manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+    ]
+    args = [x, w9]
+    if prologue is not None:
+        a, pb = prologue
+        spec_nc = pl.BlockSpec(
+            (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [spec_nc, spec_nc]
+        args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, cout).astype(jnp.float32))
+
+    out_spec = pl.BlockSpec(
+        (1, th, w, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((n, hr, w, cout), x.dtype)] * 4
+    out_specs = [out_spec] * 4
+    if want_moments:
+        mspec = pl.BlockSpec(
+            (1, 1, 1, cout), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shapes += [
+            jax.ShapeDtypeStruct((n, n_h, 1, cout), jnp.float32)
+        ] * 2
+        out_specs += [mspec, mspec]
+
+    def kern(x_hbm, w_ref, *rest):
+        idx = 0
+        a_ref = pb_ref = b_ref = None
+        if prologue is not None:
+            a_ref, pb_ref = rest[idx], rest[idx + 1]
+            idx += 2
+        if bias is not None:
+            b_ref = rest[idx]
+            idx += 1
+        out_refs = rest[idx : idx + 4]
+        idx += 4
+        sum_ref = sq_ref = None
+        if want_moments:
+            sum_ref, sq_ref = rest[idx], rest[idx + 1]
+            idx += 2
+        x_vmem, sems = rest[idx], rest[idx + 1]
+        _convt_kernel(
+            x_hbm, w_ref, a_ref, pb_ref, b_ref, out_refs, sum_ref, sq_ref,
+            x_vmem, sems,
+            th=th, n_h=n_h, i_p=i_p, k_last=k_last, logical_h=h,
+            act_pre=act_pre if prologue is not None else "none",
+            w_mode=w_mode, out_dtype=x.dtype,
+        )
+
+    flops = 2 * n * h * w * c * cout * 9
+    bytes_accessed = (
+        n * h * w * c * x.dtype.itemsize
+        + w9.size * w9.dtype.itemsize
+        + 4 * n * h * w * cout * x.dtype.itemsize
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shapes),
+        grid=(n, n_h),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 1, w + 8, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+    phases = outs[:4]
+    if want_moments:
+        s, q = outs[4], outs[5]
+        return phases, (jnp.sum(s, axis=(1, 2)), jnp.sum(q, axis=(1, 2)))
+    return phases, None
+
+
+# ---------------------------------------------------------------------------
+# Fused stride-2 down conv (k3 s2 p1) — the globe G's down-path.
+#
+# Same traffic argument as the transposed-conv kernel above. A stride-2 3x3
+# conv reads the INPUT PHASE PLANES x(2a+p, 2b+q) = P_pq(a, b) at unit
+# shifts: out(i,j) = sum_dy,dx W[dy,dx] * P_{p(dy),q(dx)}(a(dy,i), b(dx,j))
+# with (dy: 0->P1[a=i-1], 1->P0[a=i], 2->P1[a=i]) and (dx: 0->Pq1[b=j-1],
+# 1->Pq0[b=j], 2->Pq1[b=j]) — top halo row (zero H pad) and left halo column
+# (wrap/zero W pad) only. The wrapper splits x into the 4 planes with one
+# fused XLA slice+pad pass (the (h,w) -> (h/2,2,w/2,2) view is a contiguous
+# reshape); the kernel DMAs dense plane rows — no strided HBM access, the r3
+# Mosaic lowering lessons respected — and contracts 9 MXU taps.
+# ---------------------------------------------------------------------------
+
+
+def _down_kernel(
+    p_hbm,      # (N, 4, h_run, W2, C) HBM: planes [P00, P01, P10, P11]
+    w_ref,      # (9, C, Cout) VMEM
+    a_ref,      # (1, C) f32 VMEM or None (prologue scale)
+    pb_ref,     # (1, C) f32 VMEM or None (prologue shift)
+    b_ref,      # (1, Cout) VMEM or None
+    out_ref,    # (1, TH, W2, Cout) VMEM block
+    sum_ref,    # (1, 1, 1, Cout) f32 block or None
+    sq_ref,     # (1, 1, 1, Cout) f32 block or None
+    x_vmem,     # scratch (2, 4, TH+1, W2+16, C)
+    sems,       # DMA semaphores (2, 6)
+    *,
+    th: int,
+    n_h: int,
+    i_p: int,
+    k_last: int,
+    act_pre: str,
+    w_mode: str,
+    out_dtype,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    step = b * n_h + i
+    total = pl.num_programs(0) * n_h
+    w2 = out_ref.shape[2]
+    c = x_vmem.shape[4]
+
+    def dmas(bb, ii, slot):
+        ops = []
+        for pq in range(2):  # P00, P01: rows [i*th, i*th+th) -> [0, th)
+            ops.append(pltpu.make_async_copy(
+                p_hbm.at[bb, pq, pl.ds(ii * th, th)],
+                x_vmem.at[slot, pq, pl.ds(0, th), pl.ds(8, w2)],
+                sems.at[slot, pq],
+            ))
+        hsrc = jnp.maximum(ii * th - 1, 0)
+        for pq in (2, 3):  # P10, P11: halo row a=i*th-1 + main rows
+            ops.append(pltpu.make_async_copy(
+                p_hbm.at[bb, pq, pl.ds(hsrc, 1)],
+                x_vmem.at[slot, pq, pl.ds(0, 1), pl.ds(8, w2)],
+                sems.at[slot, pq],
+            ))
+            ops.append(pltpu.make_async_copy(
+                p_hbm.at[bb, pq, pl.ds(ii * th, th)],
+                x_vmem.at[slot, pq, pl.ds(1, th), pl.ds(8, w2)],
+                sems.at[slot, pq + 2],
+            ))
+        return ops
+
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for op in dmas(b, i, slot):
+            op.start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        nstep = step + 1
+        for op in dmas(nstep // n_h, jax.lax.rem(nstep, n_h), nxt):
+            op.start()
+
+    for op in dmas(b, i, slot):
+        op.wait()
+    x = x_vmem[slot]  # (4, TH+1, W2+16, C)
+
+    if a_ref is not None:
+        xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
+        if act_pre == "relu":
+            xf = jnp.maximum(xf, 0.0)
+        elif act_pre == "lrelu":
+            xf = jnp.where(xf > 0, xf, 0.2 * xf)
+        elif act_pre != "none":
+            raise ValueError(f"unknown act_pre {act_pre!r}")
+        x = xf.astype(x_vmem.dtype)
+
+    # top halo row of the P1q planes is the zero H pad when this is tile 0
+    # (clamped duplicate otherwise never counts: a = i*th-1 is in range)
+    plane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    x = jnp.where((plane >= 2) & (row == 0) & (i == 0), jnp.zeros_like(x), x)
+
+    # left halo col 7 of the q=1 planes (indices 1, 3): b = -1 wraps to the
+    # last column (periodic longitude) or zeroes
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    q1 = (plane == 1) | (plane == 3)
+    if w_mode == "wrap":
+        right = jax.lax.slice_in_dim(x, 7 + w2, 8 + w2, axis=2)
+        x = jnp.where(q1 & (col == 7), right, x)
+    elif w_mode == "zero":
+        x = jnp.where(q1 & (col == 7), jnp.zeros_like(x), x)
+    else:
+        raise ValueError(f"unknown w_mode {w_mode!r}")
+
+    def win(pq, r0, c0):  # (TH, W2, C) window of plane pq
+        return jax.lax.slice(
+            x, (pq, r0, c0, 0), (pq + 1, r0 + th, c0 + w2, c)
+        )[0]
+
+    def dot(v, t):
+        return jax.lax.dot_general(
+            v, w_ref[t],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # taps: W[dy,dx] with dy: 0 -> P1q rows [0,th), 1 -> P0q rows [0,th),
+    # 2 -> P1q rows [1,th+1); dx: 0 -> q=1 cols 7.., 1 -> q=0 cols 8..,
+    # 2 -> q=1 cols 8..   (planes: 0=P00, 1=P01, 2=P10, 3=P11)
+    acc = dot(win(3, 0, 7), 0)          # W[0,0] P11[a-1, b-1]
+    acc = acc + dot(win(2, 0, 8), 1)    # W[0,1] P10[a-1, b]
+    acc = acc + dot(win(3, 0, 8), 2)    # W[0,2] P11[a-1, b]
+    acc = acc + dot(win(1, 0, 7), 3)    # W[1,0] P01[a, b-1]
+    acc = acc + dot(win(0, 0, 8), 4)    # W[1,1] P00[a, b]
+    acc = acc + dot(win(1, 0, 8), 5)    # W[1,2] P01[a, b]
+    acc = acc + dot(win(3, 1, 7), 6)    # W[2,0] P11[a+?, b-1] (rows [1,th+1))
+    acc = acc + dot(win(2, 1, 8), 7)    # W[2,1] P10
+    acc = acc + dot(win(3, 1, 8), 8)    # W[2,2] P11
+    if b_ref is not None:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    y = acc.astype(out_dtype)
+    out_ref[0] = y
+
+    if sum_ref is not None:
+        yf = y.astype(jnp.float32)
+        valid = jnp.where(i == i_p, k_last, th)
+        r3 = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 0)
+        yf = jnp.where(r3 < valid, yf, 0.0)
+        sum_ref[0, 0, 0] = jnp.sum(yf, axis=(0, 1))
+        sq_ref[0, 0, 0] = jnp.sum(yf * yf, axis=(0, 1))
+
+
+def conv3x3s2_plan(
+    h: int, w: int, c: int, cout: int, dtype, interpret: bool = False
+) -> Optional["FusedBlockPlan"]:
+    """Row-tile plan for ``conv3x3s2_fused`` — logical_h is the OUTPUT
+    height H/2. Requires even H, even W, plane width (W/2) % 8 == 0."""
+    if h % 2 or w % 2 or (w // 2) % 8 or h < 4:
+        return None
+    h2, w2 = h // 2, w // 2
+    import os
+
+    th_env = int(os.environ.get("BIASGAN_FUSED_TH", "0"))
+    esize = jnp.dtype(dtype).itemsize
+    for th in ((th_env,) if th_env else (16, 8, 4, 2)):
+        need = (
+            2 * 4 * (th + 1) * (w2 + 16) * c * esize  # double-buffered planes
+            + 4 * (th + 1) * (w2 + 16) * c * esize    # prologue'd value
+            + th * w2 * cout * 4                      # f32 accumulator
+            + 2 * th * w2 * cout * esize              # out block
+            + 9 * c * cout * esize                    # weights
+        )
+        if th_env or need <= _VMEM_BUDGET:
+            h_run = -(-h2 // th) * th
+            return FusedBlockPlan(h2, th, h_run, interpret)
+    return None
+
+
+def conv3x3s2_fused(
+    x: Array,
+    kernel: Array,
+    bias: Optional[Array] = None,
+    prologue: Optional[Tuple[Array, Array]] = None,
+    act_pre: str = "relu",
+    plan: Optional[FusedBlockPlan] = None,
+    w_mode: str = "wrap",
+    want_moments: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """SAME 3x3 STRIDE-2 conv (torch Conv2d(3, s2, p1), H zero pad, W
+    ``w_mode``) on an (N, H, W, C) input with even H and W, with an optional
+    instance-norm+act prologue and per-(N, Cout) output moments.
+
+    Returns ``y`` (N, H/2, W/2, Cout) — exact, no garbage rows (the phase
+    planes are zero-padded to the row-tile multiple by the wrapper's fused
+    slice+pad pass) — plus ``(sum, sumsq)`` f32 (N, Cout) when
+    ``want_moments``.
+    """
+    n, hh, ww, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3) and cin == c, (kernel.shape, x.shape)
+    assert plan is not None
+    assert hh % 2 == 0 and ww % 2 == 0, (hh, ww)
+    h2, w2 = hh // 2, ww // 2
+    th, n_h = plan.th, plan.h_run // plan.th
+    assert plan.logical_h == h2, (plan.logical_h, h2)
+    i_p = (h2 - 1) // th
+    assert i_p == n_h - 1, (i_p, n_h)
+    k_last = h2 - i_p * th
+    if interpret is None:
+        interpret = plan.interpret
+
+    # one fused XLA pass: strided phase slices + zero row-pad to h_run
+    # ((h,w,c) -> (h/2,2,w/2,2,c) is a contiguous reshape; the pad fuses)
+    xv = x.reshape(n, h2, 2, w2, 2, c)
+    planes = jnp.stack(
+        [xv[:, :, 0, :, 0], xv[:, :, 0, :, 1],
+         xv[:, :, 1, :, 0], xv[:, :, 1, :, 1]],
+        axis=1,
+    )  # (n, 4, h2, w2, c)
+    if plan.h_run > h2:
+        planes = jnp.pad(
+            planes, ((0, 0), (0, 0), (0, plan.h_run - h2), (0, 0), (0, 0))
+        )
+
+    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),   # planes: manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+    ]
+    args = [planes, w9]
+    if prologue is not None:
+        a, pb = prologue
+        spec_nc = pl.BlockSpec(
+            (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [spec_nc, spec_nc]
+        args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, cout).astype(jnp.float32))
+
+    out_spec = pl.BlockSpec(
+        (1, th, w2, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((n, plan.h_run, w2, cout), x.dtype)]
+    out_specs = [out_spec]
+    if want_moments:
+        mspec = pl.BlockSpec(
+            (1, 1, 1, cout), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shapes += [
+            jax.ShapeDtypeStruct((n, n_h, 1, cout), jnp.float32)
+        ] * 2
+        out_specs += [mspec, mspec]
+
+    def kern(p_hbm, w_ref, *rest):
+        idx = 0
+        a_ref = pb_ref = b_ref = None
+        if prologue is not None:
+            a_ref, pb_ref = rest[idx], rest[idx + 1]
+            idx += 2
+        if bias is not None:
+            b_ref = rest[idx]
+            idx += 1
+        out_ref = rest[idx]
+        idx += 1
+        sum_ref = sq_ref = None
+        if want_moments:
+            sum_ref, sq_ref = rest[idx], rest[idx + 1]
+            idx += 2
+        x_vmem, sems = rest[idx], rest[idx + 1]
+        _down_kernel(
+            p_hbm, w_ref, a_ref, pb_ref, b_ref, out_ref, sum_ref, sq_ref,
+            x_vmem, sems,
+            th=th, n_h=n_h, i_p=i_p, k_last=k_last,
+            act_pre=act_pre if prologue is not None else "none",
+            w_mode=w_mode, out_dtype=x.dtype,
+        )
+
+    flops = 2 * n * h2 * w2 * c * cout * 9
+    bytes_accessed = (
+        n * hh * ww * c * x.dtype.itemsize
+        + w9.size * w9.dtype.itemsize
+        + n * h2 * w2 * cout * x.dtype.itemsize
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shapes),
+        grid=(n, n_h),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, th + 1, w2 + 16, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+    y = outs[0][:, :h2]
+    if want_moments:
+        s, q = outs[1], outs[2]
+        return y, (jnp.sum(s, axis=(1, 2)), jnp.sum(q, axis=(1, 2)))
+    return y, None
+
+
+def interleave_phases(phases, logical_h: int) -> Array:
+    """(ee, eo, oe, oo) phase tensors (N, h_run, W, C) -> (N, 2h, 2W, C).
+
+    One XLA stack pass; the final (n, h, 2, w, 2, c) -> (n, 2h, 2w, c)
+    reshape is contiguous in row-major order, so XLA treats it as a bitcast.
+    Consumers' elementwise work (norm affine, activation) fuses into the
+    stack pass."""
+    ee, eo, oe, oo = (p[:, :logical_h] for p in phases)
+    top = jnp.stack([ee, eo], axis=3)  # (n, h, w, 2, c)
+    bot = jnp.stack([oe, oo], axis=3)
+    y = jnp.stack([top, bot], axis=2)  # (n, h, 2, w, 2, c)
+    n, h, _, w, _, c = y.shape
+    return y.reshape(n, 2 * h, 2 * w, c)
+
+
 def reference_conv3x3(
     x: Array,
     kernel: Array,

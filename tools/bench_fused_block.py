@@ -49,10 +49,20 @@ def main():
     ap.add_argument("--prepost", action="store_true",
                     help="time the standalone stem+downs / ups+head regions "
                     "of the globe G instead (non-block budget)")
+    ap.add_argument("--layers", action="store_true",
+                    help="per-layer breakdown of the pre/post regions "
+                    "(each layer its own jit; exposes which op owns the "
+                    "21 ms non-block budget)")
+    ap.add_argument("--only", default="",
+                    help="with --layers: run ONLY layers whose name contains "
+                    "this substring. Each layer is a fresh XLA compile "
+                    "through the remote service (~2-4 min) — on the tunnel, "
+                    "run ONE layer per command so no timeout can kill a "
+                    "compile mid-flight (device wedge hazard)")
     args = ap.parse_args()
-    if args.prepost:
-        print(f"backend={jax.default_backend()}")
-        bench_prepost(args.iters)
+    if args.prepost or args.layers:
+        print(f"backend={jax.default_backend()}", flush=True)
+        bench_prepost(args.iters, layers=args.layers, only=args.only)
         return
     n, h, w, c = args.shape or [1, 181, 360, 256]
     dt = jnp.dtype(args.dtype)
@@ -164,11 +174,12 @@ def main():
         )
 
 
-def bench_prepost(iters: int):
+def bench_prepost(iters: int, layers: bool = False, only: str = ""):
     """Standalone stem+downs ('pre') and ups+head ('post') of the globe
     resnet_9blocks G — the NON-block budget. Compares against
     (whole-model time - block-chain time) to expose any cross-region
-    slowdown XLA introduces when opaque pallas calls sit between them."""
+    slowdown XLA introduces when opaque pallas calls sit between them.
+    ``layers``: additionally time every layer of both regions standalone."""
     from flax import linen as nn_
     from biasgan_tpu.nn.layers import Conv2d, ConvTranspose2d, norm_act
 
@@ -210,18 +221,73 @@ def bench_prepost(iters: int):
         float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
         return (time.perf_counter() - t0) / iters
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 724, 1440, 3))
-    pre = Pre()
-    vp = pre.init(jax.random.PRNGKey(1), x)
-    t_pre = timeit(jax.jit(pre.apply), vp, x)
-    hmid = jax.random.normal(jax.random.PRNGKey(2), (1, 181, 360, 256),
-                             jnp.bfloat16)
-    post = Post()
-    vq = post.init(jax.random.PRNGKey(3), hmid)
-    t_post = timeit(jax.jit(post.apply), vq, hmid)
-    print(f"pre (stem+downs)   : {t_pre*1e3:7.3f} ms\n"
-          f"post (ups+head)    : {t_post*1e3:7.3f} ms\n"
-          f"pre+post           : {(t_pre+t_post)*1e3:7.3f} ms")
+    if not layers:
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 724, 1440, 3))
+        pre = Pre()
+        vp = pre.init(jax.random.PRNGKey(1), x)
+        t_pre = timeit(jax.jit(pre.apply), vp, x)
+        hmid = jax.random.normal(jax.random.PRNGKey(2), (1, 181, 360, 256),
+                                 jnp.bfloat16)
+        post = Post()
+        vq = post.init(jax.random.PRNGKey(3), hmid)
+        t_post = timeit(jax.jit(post.apply), vq, hmid)
+        print(f"pre (stem+downs)   : {t_pre*1e3:7.3f} ms\n"
+              f"post (ups+head)    : {t_post*1e3:7.3f} ms\n"
+              f"pre+post           : {(t_pre+t_post)*1e3:7.3f} ms")
+        return
+
+    class OneLayer(nn_.Module):
+        """One pre/post layer + its norm_act, jitted standalone."""
+        kind: str      # 'conv' | 'convT'
+        feats: int
+        ksize: int = 3
+        stride: int = 1
+        h_mode: str = "zero"
+        act: bool = True
+
+        @nn_.compact
+        def __call__(self, h):
+            p = self.ksize // 2
+            if self.kind == "conv":
+                h = Conv2d(self.feats, (self.ksize, self.ksize),
+                           strides=(self.stride, self.stride),
+                           padding=(p, p), h_mode=self.h_mode, w_mode="wrap",
+                           compute_dtype=cd, name="l")(h)
+            else:
+                h = ConvTranspose2d(self.feats, (3, 3), strides=(2, 2),
+                                    padding=(1, 1), output_padding=(1, 1),
+                                    w_mode="wrap", compute_dtype=cd,
+                                    name="l")(h)
+            if self.act:
+                h = norm_act(h, "instance", "n", activation="relu", dtype=cd)
+            return h
+
+    shapes = [
+        ("stem 7x7 3->64 @724x1440", "conv", 64, 7, 1, "reflect", True,
+         (1, 724, 1440, 3), jnp.float32),
+        ("down0 3x3s2 64->128 @724x1440", "conv", 128, 3, 2, "zero", True,
+         (1, 724, 1440, 64), cd),
+        ("down1 3x3s2 128->256 @362x720", "conv", 256, 3, 2, "zero", True,
+         (1, 362, 720, 128), cd),
+        ("up0 convT 256->128 @181x360", "convT", 128, 3, 2, "zero", True,
+         (1, 181, 360, 256), cd),
+        ("up1 convT 128->64 @362x720", "convT", 64, 3, 2, "zero", True,
+         (1, 362, 720, 128), cd),
+        ("head 7x7 64->3 @724x1440", "conv", 3, 7, 1, "reflect", False,
+         (1, 724, 1440, 64), cd),
+    ]
+    total = 0.0
+    for name, kind, feats, ks, st, hm, act, shp, dt in shapes:
+        if only and only not in name:
+            continue
+        m = OneLayer(kind=kind, feats=feats, ksize=ks, stride=st,
+                     h_mode=hm, act=act)
+        hx = jax.random.normal(jax.random.PRNGKey(7), shp, dt)
+        vv = m.init(jax.random.PRNGKey(8), hx)
+        t = timeit(jax.jit(m.apply), vv, hx)
+        total += t
+        print(f"{name:34s}: {t*1e3:7.3f} ms", flush=True)
+    print(f"{'sum of layers':34s}: {total*1e3:7.3f} ms")
 
 
 if __name__ == "__main__":

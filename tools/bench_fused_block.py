@@ -53,6 +53,12 @@ def main():
                     help="per-layer breakdown of the pre/post regions "
                     "(each layer its own jit; exposes which op owns the "
                     "21 ms non-block budget)")
+    ap.add_argument("--stages", action="store_true",
+                    help="time the REAL ResNetGenerator's pre/blocks/post "
+                    "stage jits at the globe shape (honors "
+                    "BIASGAN_FUSED_BLOCK for the fused-vs-XLA region A/B). "
+                    "Three fresh compiles — budget the tunnel accordingly; "
+                    "use --only pre|blocks|post for one compile per command")
     ap.add_argument("--only", default="",
                     help="with --layers: run ONLY layers whose name contains "
                     "this substring. Each layer is a fresh XLA compile "
@@ -60,6 +66,10 @@ def main():
                     "run ONE layer per command so no timeout can kill a "
                     "compile mid-flight (device wedge hazard)")
     args = ap.parse_args()
+    if args.stages:
+        print(f"backend={jax.default_backend()}", flush=True)
+        bench_stages(args.iters, only=args.only)
+        return
     if args.prepost or args.layers:
         print(f"backend={jax.default_backend()}", flush=True)
         bench_prepost(args.iters, layers=args.layers, only=args.only)
@@ -172,6 +182,56 @@ def main():
             f"{flc/txc/1e12:6.1f} TF/s\n"
             f"chain speedup      : {txc/tfc:5.2f}x"
         )
+
+
+def bench_stages(iters: int, only: str = ""):
+    """Time the real globe ResNetGenerator's three stage jits at
+    (1, 724, 1440, 3) bf16 — pre (stem+downs), blocks, post (ups+head).
+    BIASGAN_FUSED_BLOCK in the env selects the fused or XLA path, so two
+    invocations give the region-level A/B that attributes the whole-model
+    delta."""
+    import os
+    from functools import partial
+
+    sys.path.insert(0, ".")
+    from biasgan_tpu.nn import define_G, init_params
+
+    print(f"BIASGAN_FUSED_BLOCK={os.environ.get('BIASGAN_FUSED_BLOCK', '')}",
+          flush=True)
+    G = define_G("resnet_9blocks", output_nc=3, ngf=64, norm="instance",
+                 w_mode="wrap", compute_dtype=jnp.bfloat16,
+                 out_activation="none")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 724, 1440, 3))
+    v = init_params(G, jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+
+    @partial(jax.jit, static_argnames="stage")
+    def run(v, h, stage):
+        return G.apply(v, h, False, stage=stage)
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters, out
+
+    order = ("pre", "blocks", "post")
+    h = x
+    total = 0.0
+    for idx, stage in enumerate(order):
+        if only and stage != only:
+            if idx < order.index(only):
+                h = run(v, h, stage)  # produce the measured stage's input
+            continue
+        t, out = timeit(run, v, h, stage)
+        h = out
+        total += t
+        print(f"stage {stage:7s}: {t*1e3:7.3f} ms", flush=True)
+        if only:
+            return
+    print(f"stage total  : {total*1e3:7.3f} ms")
 
 
 def bench_prepost(iters: int, layers: bool = False, only: str = ""):

@@ -272,6 +272,14 @@ class ResNetGenerator(nn.Module):
             return None
         if fb != "interpret" and jax.default_backend() != "tpu":
             return None
+        # The down/up kernels are a separate opt-in: measured r3 on the v5e
+        # they LOSE to XLA at the globe shapes (pre 15.0 vs 9.8 ms, post
+        # 11.7 vs 11.2 — BASELINE.md r3 fused-block section), unlike the
+        # block chain, so BIASGAN_FUSED_BLOCK alone keeps the measured
+        # optimum (blocks-only). Interpret mode (CPU tests) exercises them
+        # unconditionally.
+        if fb != "interpret" and not os.environ.get("BIASGAN_FUSED_UPDOWN"):
+            return None
         # gate on the largest channel width in the chain (ngf*4), the same
         # knob the block gate uses (BIASGAN_FUSED_MIN_C, default 128)
         if self.ngf * 4 < int(os.environ.get("BIASGAN_FUSED_MIN_C", "128")):

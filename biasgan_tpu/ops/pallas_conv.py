@@ -859,22 +859,26 @@ def conv3x3_fused(
 #
 # — 9 taps total (every kernel element used once), halos only at the BOTTOM
 # row (zero, the torch H pad) and RIGHT column (wrap for periodic longitude,
-# else zero). The kernel emits the 4 phases as separate clean-block outputs;
-# `interleave_phases` reassembles (n, 2h, 2w, c) with ONE XLA stack pass
-# whose final (n,h,2,w,2,c)->(n,2h,2w,c) reshape is contiguous (free), and
-# XLA fuses the consumer's affine/activation into that same pass.
+# else zero). The two COLUMN phases are merged on the output channel axis
+# (N = 2*Cout per dot, (c, 2cout) tap matrices with zero blocks where only
+# the odd column contributes — 6 dots total), which keeps every HBM minor
+# dim a 128 multiple (Mosaic refuses sub-128 minor-dim memref slices) and
+# makes the (w, 2cout) -> (w, 2, cout) output view contiguous. The kernel
+# emits even-row / odd-row merged tensors; `interleave_phases` reassembles
+# (n, 2h, 2w, c) with ONE XLA stack pass whose final reshape is contiguous
+# (free), and XLA fuses the consumer's affine/activation into that pass.
 # ---------------------------------------------------------------------------
 
 
 def _convt_kernel(
     x_hbm,      # (N, h_run, W, C) HBM, unpadded
-    w_ref,      # (9, C, Cout) VMEM — [ky*3+kx] torch-layout taps
+    w_ref,      # (6, C, 2*Cout) VMEM — merged tap matrices (see wrapper)
     a_ref,      # (1, C) f32 VMEM or None (prologue scale)
     pb_ref,     # (1, C) f32 VMEM or None (prologue shift)
-    b_ref,      # (1, Cout) VMEM or None (convT bias)
-    out_refs,   # 4 x (1, TH, W, Cout) VMEM blocks: ee, eo, oe, oo
-    sum_ref,    # (1, 1, 1, Cout) f32 block or None
-    sq_ref,     # (1, 1, 1, Cout) f32 block or None
+    b_ref,      # (1, 2*Cout) VMEM or None (convT bias, tiled x2)
+    out_refs,   # 2 x (1, TH, W, 2*Cout) VMEM blocks: even rows, odd rows
+    sum_ref,    # (1, 1, 1, 2*Cout) f32 block or None
+    sq_ref,     # (1, 1, 1, 2*Cout) f32 block or None
     x_vmem,     # scratch (2, TH+1, W+8, C)
     sems,       # DMA semaphores (2, 2)
     *,
@@ -974,12 +978,12 @@ def _convt_kernel(
 
     xm, xm_j1 = win(0, 0), win(0, 1)
     xm1, xm1_j1 = win(1, 0), win(1, 1)
-    ee = dot(xm, 4)                                     # W[1,1]
-    eo = dot(xm_j1, 3) + dot(xm, 5)                     # W[1,0], W[1,2]
-    oe = dot(xm1, 1) + dot(xm, 7)                       # W[0,1], W[2,1]
-    oo = dot(xm1_j1, 0) + dot(xm1, 2) + dot(xm_j1, 6) + dot(xm, 8)
+    # merged tap matrices: E0=[W11|W12], E1=[0|W10], O0=[W01|W02],
+    # O1=[0|W00], O2=[W21|W22], O3=[0|W20] — column q in the right half
+    even = dot(xm, 0) + dot(xm_j1, 1)
+    odd = dot(xm1, 2) + dot(xm1_j1, 3) + dot(xm, 4) + dot(xm_j1, 5)
 
-    phases = (ee, eo, oe, oo)
+    phases = (even, odd)
     if b_ref is not None:
         phases = tuple(p + b_ref[0].astype(jnp.float32) for p in phases)
     ys = tuple(p.astype(out_dtype) for p in phases)
@@ -1003,8 +1007,12 @@ def _convt_kernel(
 def convt3x3s2_plan(
     logical_h: int, w: int, c: int, cout: int, dtype, interpret: bool = False
 ) -> Optional["FusedBlockPlan"]:
-    """Row-tile plan for ``convt3x3s2_fused`` (input-space rows)."""
+    """Row-tile plan for ``convt3x3s2_fused`` (input-space rows). On
+    hardware both C and the merged output (2*Cout) must be 128 multiples
+    (Mosaic DMA slices need 128-multiple minor dims)."""
     if w < 8 or w % 8 != 0 or logical_h < 2:
+        return None
+    if not interpret and (c % 128 or (2 * cout) % 128):
         return None
     import os
 
@@ -1014,9 +1022,9 @@ def convt3x3s2_plan(
         need = (
             2 * (th + 1) * (w + 8) * c * esize   # double-buffered input
             + (th + 1) * (w + 8) * c * esize     # prologue'd value
-            + 4 * th * w * cout * 4              # 4 f32 phase accumulators
-            + 4 * th * w * cout * esize          # 4 out blocks
-            + 9 * c * cout * esize               # weights
+            + 2 * th * w * 2 * cout * 4          # 2 f32 merged accumulators
+            + 2 * th * w * 2 * cout * esize      # 2 out blocks
+            + 6 * c * 2 * cout * esize           # weights
         )
         if th_env or need <= _VMEM_BUDGET:
             h_run = -(-logical_h // th) * th
@@ -1039,10 +1047,11 @@ def convt3x3s2_fused(
     (H zero pad, W ``w_mode``) on an UNPADDED (N, h_run, W, C) input, with an
     optional instance-norm+act prologue and per-(N, Cout) output moments.
 
-    Returns ``(ee, eo, oe, oo)`` phase tensors of shape (N, h_run, W, Cout)
-    — rows >= plan.logical_h are garbage; assemble the (N, 2h, 2W, Cout)
-    output with ``interleave_phases`` — plus ``(sum, sumsq)`` f32 (N, Cout)
-    of the full 2h x 2W output when ``want_moments``.
+    Returns ``(even, odd)`` merged row-phase tensors (N, h_run, W, 2*Cout)
+    whose channel halves are the two COLUMN phases — rows >=
+    plan.logical_h are garbage; assemble the (N, 2h, 2W, Cout) output with
+    ``interleave_phases`` — plus ``(sum, sumsq)`` f32 (N, Cout) of the full
+    2h x 2W output when ``want_moments``.
     ``kernel`` is HWIO in the torch layout (kernel[ky, kx, ic, oc]), exactly
     what ``nn/layers.py::conv_transpose2d`` takes (NO pre-flipping).
     """
@@ -1059,12 +1068,23 @@ def convt3x3s2_fused(
     if interpret is None:
         interpret = plan.interpret
 
-    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+    # merged tap matrices (c, 2cout): [q=0 | q=1] output halves
+    z = jnp.zeros((c, cout), kernel.dtype)
+    w6 = jnp.stack(
+        [
+            jnp.concatenate([kernel[1, 1], kernel[1, 2]], axis=1),  # E0
+            jnp.concatenate([z, kernel[1, 0]], axis=1),             # E1
+            jnp.concatenate([kernel[0, 1], kernel[0, 2]], axis=1),  # O0
+            jnp.concatenate([z, kernel[0, 0]], axis=1),             # O1
+            jnp.concatenate([kernel[2, 1], kernel[2, 2]], axis=1),  # O2
+            jnp.concatenate([z, kernel[2, 0]], axis=1),             # O3
+        ]
+    ).astype(x.dtype)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),   # x: manual DMA
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
     ]
-    args = [x, w9]
+    args = [x, w6]
     if prologue is not None:
         a, pb = prologue
         spec_nc = pl.BlockSpec(
@@ -1074,20 +1094,23 @@ def convt3x3s2_fused(
         args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        args.append(bias.reshape(1, cout).astype(jnp.float32))
+        args.append(
+            jnp.tile(bias.reshape(1, cout).astype(jnp.float32), (1, 2))
+        )
 
     out_spec = pl.BlockSpec(
-        (1, th, w, cout), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        (1, th, w, 2 * cout), lambda b, i: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    out_shapes = [jax.ShapeDtypeStruct((n, hr, w, cout), x.dtype)] * 4
-    out_specs = [out_spec] * 4
+    out_shapes = [jax.ShapeDtypeStruct((n, hr, w, 2 * cout), x.dtype)] * 2
+    out_specs = [out_spec] * 2
     if want_moments:
         mspec = pl.BlockSpec(
-            (1, 1, 1, cout), lambda b, i: (b, i, 0, 0),
+            (1, 1, 1, 2 * cout), lambda b, i: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_shapes += [
-            jax.ShapeDtypeStruct((n, n_h, 1, cout), jnp.float32)
+            jax.ShapeDtypeStruct((n, n_h, 1, 2 * cout), jnp.float32)
         ] * 2
         out_specs += [mspec, mspec]
 
@@ -1100,8 +1123,8 @@ def convt3x3s2_fused(
         if bias is not None:
             b_ref = rest[idx]
             idx += 1
-        out_refs = rest[idx : idx + 4]
-        idx += 4
+        out_refs = rest[idx : idx + 2]
+        idx += 2
         sum_ref = sq_ref = None
         if want_moments:
             sum_ref, sq_ref = rest[idx], rest[idx + 1]
@@ -1115,10 +1138,10 @@ def convt3x3s2_fused(
             w_mode=w_mode, out_dtype=x.dtype,
         )
 
-    flops = 2 * n * h * w * c * cout * 9
+    flops = 2 * n * h * w * c * cout * 12  # 6 K=c N=2cout dots
     bytes_accessed = (
         n * h * w * c * x.dtype.itemsize
-        + w9.size * w9.dtype.itemsize
+        + w6.size * w6.dtype.itemsize
         + 4 * n * h * w * cout * x.dtype.itemsize
     )
     outs = pl.pallas_call(
@@ -1132,17 +1155,20 @@ def convt3x3s2_fused(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+            vmem_limit_bytes=15 * 1024 * 1024 + 512 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(*args)
-    phases = outs[:4]
+    phases = outs[:2]
     if want_moments:
-        s, q = outs[4], outs[5]
-        return phases, (jnp.sum(s, axis=(1, 2)), jnp.sum(q, axis=(1, 2)))
+        # fold the merged (2cout) moments back to per-oc: the halves are
+        # the two column phases of the same output channel
+        s = jnp.sum(outs[2], axis=(1, 2))
+        q = jnp.sum(outs[3], axis=(1, 2))
+        return phases, (s[:, :cout] + s[:, cout:], q[:, :cout] + q[:, cout:])
     return phases, None
 
 
@@ -1150,28 +1176,32 @@ def convt3x3s2_fused(
 # Fused stride-2 down conv (k3 s2 p1) — the globe G's down-path.
 #
 # Same traffic argument as the transposed-conv kernel above. A stride-2 3x3
-# conv reads the INPUT PHASE PLANES x(2a+p, 2b+q) = P_pq(a, b) at unit
-# shifts: out(i,j) = sum_dy,dx W[dy,dx] * P_{p(dy),q(dx)}(a(dy,i), b(dx,j))
-# with (dy: 0->P1[a=i-1], 1->P0[a=i], 2->P1[a=i]) and (dx: 0->Pq1[b=j-1],
-# 1->Pq0[b=j], 2->Pq1[b=j]) — top halo row (zero H pad) and left halo column
-# (wrap/zero W pad) only. The wrapper splits x into the 4 planes with one
-# fused XLA slice+pad pass (the (h,w) -> (h/2,2,w/2,2) view is a contiguous
-# reshape); the kernel DMAs dense plane rows — no strided HBM access, the r3
-# Mosaic lowering lessons respected — and contracts 9 MXU taps.
+# conv reads the input ROW-PHASE planes x(2a+p, ·) at unit row shifts
+# (dy: 0 -> P1[a=i-1], 1 -> P0[a=i], 2 -> P1[a=i]) — and the COLUMN phases
+# are merged into the channel axis: the (W, C) -> (W/2, 2C) view is a
+# CONTIGUOUS reshape, so plane P_p(a, b) carries channels
+# [x(2a+p, 2b), x(2a+p, 2b+1)]. Each (dy, column-offset) pair then becomes
+# ONE MXU dot with a (2C, Cout) tap matrix (taps needing only the odd
+# column half ride a zero upper block): 6 dots total, K = 2C >= 128 fills
+# the systolic array, and — critically — every HBM memref minor dim is a
+# 128 multiple (Mosaic refuses DMA slices of sub-128 minor dims; the first
+# 4-plane formulation with minor dim C=64 failed to lower, r3). Halos: top
+# row (zero H pad) and left column pair (wrap/zero W pad) only; no strided
+# HBM access anywhere.
 # ---------------------------------------------------------------------------
 
 
 def _down_kernel(
-    p_hbm,      # (N, 4, h_run, W2, C) HBM: planes [P00, P01, P10, P11]
-    w_ref,      # (9, C, Cout) VMEM
-    a_ref,      # (1, C) f32 VMEM or None (prologue scale)
-    pb_ref,     # (1, C) f32 VMEM or None (prologue shift)
+    p_hbm,      # (N, 2, h_run, W2, 2C) HBM: row-phase planes, cols merged
+    w_ref,      # (6, 2C, Cout) VMEM — [Mp0, Np0, Mp1t, Np1t, Mp1b, Np1b]
+    a_ref,      # (1, 2C) f32 VMEM or None (prologue scale, tiled x2)
+    pb_ref,     # (1, 2C) f32 VMEM or None
     b_ref,      # (1, Cout) VMEM or None
     out_ref,    # (1, TH, W2, Cout) VMEM block
     sum_ref,    # (1, 1, 1, Cout) f32 block or None
     sq_ref,     # (1, 1, 1, Cout) f32 block or None
-    x_vmem,     # scratch (2, 4, TH+1, W2+16, C)
-    sems,       # DMA semaphores (2, 6)
+    x_vmem,     # scratch (2, 2, TH+1, W2+16, 2C)
+    sems,       # DMA semaphores (2, 3)
     *,
     th: int,
     n_h: int,
@@ -1186,29 +1216,28 @@ def _down_kernel(
     step = b * n_h + i
     total = pl.num_programs(0) * n_h
     w2 = out_ref.shape[2]
-    c = x_vmem.shape[4]
+    c2 = x_vmem.shape[4]
 
     def dmas(bb, ii, slot):
-        ops = []
-        for pq in range(2):  # P00, P01: rows [i*th, i*th+th) -> [0, th)
-            ops.append(pltpu.make_async_copy(
-                p_hbm.at[bb, pq, pl.ds(ii * th, th)],
-                x_vmem.at[slot, pq, pl.ds(0, th), pl.ds(8, w2)],
-                sems.at[slot, pq],
-            ))
+        # P0 main rows a = [i*th, i*th+th) -> buffer rows [0, th)
+        p0 = pltpu.make_async_copy(
+            p_hbm.at[bb, 0, pl.ds(ii * th, th)],
+            x_vmem.at[slot, 0, pl.ds(0, th), pl.ds(8, w2)],
+            sems.at[slot, 0],
+        )
+        # P1 halo row a = i*th - 1 (clamped; zero-masked at tile 0) + main
         hsrc = jnp.maximum(ii * th - 1, 0)
-        for pq in (2, 3):  # P10, P11: halo row a=i*th-1 + main rows
-            ops.append(pltpu.make_async_copy(
-                p_hbm.at[bb, pq, pl.ds(hsrc, 1)],
-                x_vmem.at[slot, pq, pl.ds(0, 1), pl.ds(8, w2)],
-                sems.at[slot, pq],
-            ))
-            ops.append(pltpu.make_async_copy(
-                p_hbm.at[bb, pq, pl.ds(ii * th, th)],
-                x_vmem.at[slot, pq, pl.ds(1, th), pl.ds(8, w2)],
-                sems.at[slot, pq + 2],
-            ))
-        return ops
+        p1h = pltpu.make_async_copy(
+            p_hbm.at[bb, 1, pl.ds(hsrc, 1)],
+            x_vmem.at[slot, 1, pl.ds(0, 1), pl.ds(8, w2)],
+            sems.at[slot, 1],
+        )
+        p1m = pltpu.make_async_copy(
+            p_hbm.at[bb, 1, pl.ds(ii * th, th)],
+            x_vmem.at[slot, 1, pl.ds(1, th), pl.ds(8, w2)],
+            sems.at[slot, 2],
+        )
+        return p0, p1h, p1m
 
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
@@ -1226,7 +1255,7 @@ def _down_kernel(
 
     for op in dmas(b, i, slot):
         op.wait()
-    x = x_vmem[slot]  # (4, TH+1, W2+16, C)
+    x = x_vmem[slot]  # (2, TH+1, W2+16, 2C)
 
     if a_ref is not None:
         xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
@@ -1238,27 +1267,25 @@ def _down_kernel(
             raise ValueError(f"unknown act_pre {act_pre!r}")
         x = xf.astype(x_vmem.dtype)
 
-    # top halo row of the P1q planes is the zero H pad when this is tile 0
-    # (clamped duplicate otherwise never counts: a = i*th-1 is in range)
+    # P1's top halo row is the zero H pad when this is tile 0
     plane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    x = jnp.where((plane >= 2) & (row == 0) & (i == 0), jnp.zeros_like(x), x)
+    x = jnp.where((plane == 1) & (row == 0) & (i == 0), jnp.zeros_like(x), x)
 
-    # left halo col 7 of the q=1 planes (indices 1, 3): b = -1 wraps to the
-    # last column (periodic longitude) or zeroes
+    # left halo col 7: merged column b = -1 = global cols (-2, -1), which
+    # wrap to merged col W2-1 (periodic longitude) or zero
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    q1 = (plane == 1) | (plane == 3)
     if w_mode == "wrap":
         right = jax.lax.slice_in_dim(x, 7 + w2, 8 + w2, axis=2)
-        x = jnp.where(q1 & (col == 7), right, x)
+        x = jnp.where(col == 7, right, x)
     elif w_mode == "zero":
-        x = jnp.where(q1 & (col == 7), jnp.zeros_like(x), x)
+        x = jnp.where(col == 7, jnp.zeros_like(x), x)
     else:
         raise ValueError(f"unknown w_mode {w_mode!r}")
 
-    def win(pq, r0, c0):  # (TH, W2, C) window of plane pq
+    def win(p, r0, c0):  # (TH, W2, 2C) window of row-phase plane p
         return jax.lax.slice(
-            x, (pq, r0, c0, 0), (pq + 1, r0 + th, c0 + w2, c)
+            x, (p, r0, c0, 0), (p + 1, r0 + th, c0 + w2, c2)
         )[0]
 
     def dot(v, t):
@@ -1268,18 +1295,14 @@ def _down_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # taps: W[dy,dx] with dy: 0 -> P1q rows [0,th), 1 -> P0q rows [0,th),
-    # 2 -> P1q rows [1,th+1); dx: 0 -> q=1 cols 7.., 1 -> q=0 cols 8..,
-    # 2 -> q=1 cols 8..   (planes: 0=P00, 1=P01, 2=P10, 3=P11)
-    acc = dot(win(3, 0, 7), 0)          # W[0,0] P11[a-1, b-1]
-    acc = acc + dot(win(2, 0, 8), 1)    # W[0,1] P10[a-1, b]
-    acc = acc + dot(win(3, 0, 8), 2)    # W[0,2] P11[a-1, b]
-    acc = acc + dot(win(1, 0, 7), 3)    # W[1,0] P01[a, b-1]
-    acc = acc + dot(win(0, 0, 8), 4)    # W[1,1] P00[a, b]
-    acc = acc + dot(win(1, 0, 8), 5)    # W[1,2] P01[a, b]
-    acc = acc + dot(win(3, 1, 7), 6)    # W[2,0] P11[a+?, b-1] (rows [1,th+1))
-    acc = acc + dot(win(2, 1, 8), 7)    # W[2,1] P10
-    acc = acc + dot(win(3, 1, 8), 8)    # W[2,2] P11
+    # 6 K=2C dots: per (row window, column offset) one merged tap matrix
+    # (wrapper docstring for the layout). Column offset 8 = b=j, 7 = b=j-1.
+    acc = dot(win(0, 0, 8), 0)          # Mp0:  [W[1,1]; W[1,2]]
+    acc = acc + dot(win(0, 0, 7), 1)    # Np0:  [0;      W[1,0]]
+    acc = acc + dot(win(1, 0, 8), 2)    # Mp1t: [W[0,1]; W[0,2]]  (a = i-1)
+    acc = acc + dot(win(1, 0, 7), 3)    # Np1t: [0;      W[0,0]]
+    acc = acc + dot(win(1, 1, 8), 4)    # Mp1b: [W[2,1]; W[2,2]]  (a = i)
+    acc = acc + dot(win(1, 1, 7), 5)    # Np1b: [0;      W[2,0]]
     if b_ref is not None:
         acc = acc + b_ref[0].astype(jnp.float32)
     y = acc.astype(out_dtype)
@@ -1298,8 +1321,12 @@ def conv3x3s2_plan(
     h: int, w: int, c: int, cout: int, dtype, interpret: bool = False
 ) -> Optional["FusedBlockPlan"]:
     """Row-tile plan for ``conv3x3s2_fused`` — logical_h is the OUTPUT
-    height H/2. Requires even H, even W, plane width (W/2) % 8 == 0."""
+    height H/2. Requires even H, even W, plane width (W/2) % 8 == 0, and —
+    on hardware — merged channels (2C) % 128 == 0 (Mosaic DMA slices need
+    128-multiple minor dims)."""
     if h % 2 or w % 2 or (w // 2) % 8 or h < 4:
+        return None
+    if not interpret and (2 * c) % 128:
         return None
     h2, w2 = h // 2, w // 2
     import os
@@ -1308,11 +1335,11 @@ def conv3x3s2_plan(
     esize = jnp.dtype(dtype).itemsize
     for th in ((th_env,) if th_env else (16, 8, 4, 2)):
         need = (
-            2 * 4 * (th + 1) * (w2 + 16) * c * esize  # double-buffered planes
-            + 4 * (th + 1) * (w2 + 16) * c * esize    # prologue'd value
-            + th * w2 * cout * 4                      # f32 accumulator
-            + 2 * th * w2 * cout * esize              # out block
-            + 9 * c * cout * esize                    # weights
+            2 * 2 * (th + 1) * (w2 + 16) * 2 * c * esize  # 2-slot planes
+            + 2 * (th + 1) * (w2 + 16) * 2 * c * esize    # prologue'd value
+            + th * w2 * cout * 4                          # f32 accumulator
+            + 2 * th * w2 * cout * esize                  # out block
+            + 6 * 2 * c * cout * esize                    # weights
         )
         if th_env or need <= _VMEM_BUDGET:
             h_run = -(-h2 // th) * th
@@ -1354,32 +1381,46 @@ def conv3x3s2_fused(
     if interpret is None:
         interpret = plan.interpret
 
-    # one fused XLA pass: strided phase slices + zero row-pad to h_run
-    # ((h,w,c) -> (h/2,2,w/2,2,c) is a contiguous reshape; the pad fuses)
-    xv = x.reshape(n, h2, 2, w2, 2, c)
-    planes = jnp.stack(
-        [xv[:, :, 0, :, 0], xv[:, :, 0, :, 1],
-         xv[:, :, 1, :, 0], xv[:, :, 1, :, 1]],
-        axis=1,
-    )  # (n, 4, h2, w2, c)
+    # one fused XLA pass: row-phase slices + zero row-pad to h_run. The
+    # (h, w, c) -> (h/2, 2, w/2, 2c) view is a contiguous reshape, so plane
+    # P_p carries the two column phases MERGED on the channel axis — every
+    # HBM minor dim stays a 128 multiple (Mosaic DMA-slice requirement).
+    xv = x.reshape(n, h2, 2, w2, 2 * c)
+    planes = jnp.stack([xv[:, :, 0], xv[:, :, 1]], axis=1)  # (n,2,h2,w2,2c)
     if plan.h_run > h2:
         planes = jnp.pad(
             planes, ((0, 0), (0, 0), (0, plan.h_run - h2), (0, 0), (0, 0))
         )
 
-    w9 = kernel.reshape(9, c, cout).astype(x.dtype)
+    # 6 merged tap matrices (2c, cout): [q=0 half; q=1 half] per (row
+    # window, column offset) — kernel[dy, dx] with dx=1 -> q=0 at b=j,
+    # dx=2 -> q=1 at b=j, dx=0 -> q=1 at b=j-1 (zero q=0 half)
+    z = jnp.zeros((c, cout), kernel.dtype)
+    w6 = jnp.stack(
+        [
+            jnp.concatenate([kernel[1, 1], kernel[1, 2]], axis=0),  # Mp0
+            jnp.concatenate([z, kernel[1, 0]], axis=0),             # Np0
+            jnp.concatenate([kernel[0, 1], kernel[0, 2]], axis=0),  # Mp1t
+            jnp.concatenate([z, kernel[0, 0]], axis=0),             # Np1t
+            jnp.concatenate([kernel[2, 1], kernel[2, 2]], axis=0),  # Mp1b
+            jnp.concatenate([z, kernel[2, 0]], axis=0),             # Np1b
+        ]
+    ).astype(x.dtype)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),   # planes: manual DMA
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
     ]
-    args = [planes, w9]
+    args = [planes, w6]
     if prologue is not None:
         a, pb = prologue
         spec_nc = pl.BlockSpec(
-            (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            (1, 2 * c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec_nc, spec_nc]
-        args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
+        args += [
+            jnp.tile(a.astype(jnp.float32), (1, 2)),
+            jnp.tile(pb.astype(jnp.float32), (1, 2)),
+        ]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(bias.reshape(1, cout).astype(jnp.float32))
@@ -1423,10 +1464,10 @@ def conv3x3s2_fused(
             w_mode=w_mode, out_dtype=x.dtype,
         )
 
-    flops = 2 * n * h2 * w2 * c * cout * 9
+    flops = 2 * n * h2 * w2 * 2 * c * cout * 6  # 6 K=2c dots
     bytes_accessed = (
         n * hh * ww * c * x.dtype.itemsize
-        + w9.size * w9.dtype.itemsize
+        + w6.size * w6.dtype.itemsize
         + n * h2 * w2 * cout * x.dtype.itemsize
     )
     outs = pl.pallas_call(
@@ -1436,11 +1477,11 @@ def conv3x3s2_fused(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, th + 1, w2 + 16, c), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.VMEM((2, 2, th + 1, w2 + 16, 2 * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+            vmem_limit_bytes=15 * 1024 * 1024 + 512 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
@@ -1455,18 +1496,20 @@ def conv3x3s2_fused(
 
 
 def interleave_phases(phases, logical_h: int) -> Array:
-    """(ee, eo, oe, oo) phase tensors (N, h_run, W, C) -> (N, 2h, 2W, C).
+    """(even, odd) merged row-phase tensors (N, h_run, W, 2C) ->
+    (N, 2h, 2W, C).
 
-    One XLA stack pass; the final (n, h, 2, w, 2, c) -> (n, 2h, 2w, c)
-    reshape is contiguous in row-major order, so XLA treats it as a bitcast.
-    Consumers' elementwise work (norm affine, activation) fuses into the
-    stack pass."""
-    ee, eo, oe, oo = (p[:, :logical_h] for p in phases)
-    top = jnp.stack([ee, eo], axis=3)  # (n, h, w, 2, c)
-    bot = jnp.stack([oe, oo], axis=3)
-    y = jnp.stack([top, bot], axis=2)  # (n, h, 2, w, 2, c)
-    n, h, _, w, _, c = y.shape
-    return y.reshape(n, 2 * h, 2 * w, c)
+    One XLA stack pass; the (w, 2c) -> (w, 2, c) views and the final
+    (n, h, 2, w, 2, c) -> (n, 2h, 2w, c) reshape are all contiguous in
+    row-major order, so XLA treats them as bitcasts. Consumers' elementwise
+    work (norm affine, activation) fuses into the stack pass."""
+    even, odd = phases
+    n, _, w, c2 = even.shape
+    c = c2 // 2
+    ev = even[:, :logical_h].reshape(n, logical_h, w, 2, c)
+    od = odd[:, :logical_h].reshape(n, logical_h, w, 2, c)
+    y = jnp.stack([ev, od], axis=2)  # (n, h, 2, w, 2, c)
+    return y.reshape(n, 2 * logical_h, 2 * w, c)
 
 
 def reference_conv3x3(

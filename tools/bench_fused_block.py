@@ -65,7 +65,14 @@ def main():
                     "through the remote service (~2-4 min) — on the tunnel, "
                     "run ONE layer per command so no timeout can kill a "
                     "compile mid-flight (device wedge hazard)")
+    ap.add_argument("--downprobe", action="store_true",
+                    help="isolated fused-down cost split at the globe "
+                    "down1 shape (4 small compiles)")
     args = ap.parse_args()
+    if args.downprobe:
+        print(f"backend={jax.default_backend()}", flush=True)
+        bench_downprobe(args.iters)
+        return
     if args.stages:
         print(f"backend={jax.default_backend()}", flush=True)
         bench_stages(args.iters, only=args.only)
@@ -232,6 +239,86 @@ def bench_stages(iters: int, only: str = ""):
         if only:
             return
     print(f"stage total  : {total*1e3:7.3f} ms")
+
+
+def bench_downprobe(iters: int):
+    """Isolated cost split of the fused DOWN kernel at the globe down1
+    shape (1, 362, 720, 128 -> 256) bf16: (a) full kernel w/ prologue,
+    (b) kernel w/o prologue, (c) the XLA phase-split glue alone,
+    (d) XLA reference conv s2 + IN + relu. Attributes the measured
+    pre-region loss (BASELINE.md r3) to kernel vs glue vs prologue."""
+    from biasgan_tpu.nn.layers import instance_norm, pad_hw
+    from biasgan_tpu.ops.pallas_conv import (
+        conv3x3s2_fused,
+        conv3x3s2_plan,
+        instance_moments_to_affine,
+    )
+
+    n, h, w, c, cout = 1, 362, 720, 128, 256
+    dt = jnp.bfloat16
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (n, h, w, c), dt)
+    kern = (jax.random.normal(k2, (3, 3, c, cout)) * 0.05).astype(dt)
+    bias = jax.random.normal(k3, (cout,), jnp.float32) * 0.1
+    xf = x.astype(jnp.float32)
+    a, b = instance_moments_to_affine(
+        xf.sum((1, 2)), (xf * xf).sum((1, 2)), h * w
+    )
+    plan = conv3x3s2_plan(h, w, c, cout, dt, interpret=False)
+    print(f"plan: {plan}", flush=True)
+
+    def timeit(fn, *args_):
+        out = fn(*args_)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args_)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters
+
+    @jax.jit
+    def full(x, kern, bias, a, b):
+        return conv3x3s2_fused(
+            x, kern, bias, prologue=(a, b), plan=plan, w_mode="wrap"
+        )
+
+    @jax.jit
+    def noprol(x, kern, bias):
+        return conv3x3s2_fused(x, kern, bias, plan=plan, w_mode="wrap")
+
+    @jax.jit
+    def glue(x):
+        h2, w2 = h // 2, w // 2
+        xv = x.reshape(n, h2, 2, w2, 2 * c)
+        planes = jnp.stack([xv[:, :, 0], xv[:, :, 1]], axis=1)
+        if plan.h_run > h2:
+            planes = jnp.pad(
+                planes,
+                ((0, 0), (0, 0), (0, plan.h_run - h2), (0, 0), (0, 0)),
+            )
+        return planes
+
+    @jax.jit
+    def xla_ref(x, kern, bias, a, b):
+        z = jax.nn.relu(
+            x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+        ).astype(x.dtype)
+        xp = pad_hw(z, (1, 1), (1, 1), "zero", "wrap")
+        y = jax.lax.conv_general_dilated(
+            xp, kern.astype(x.dtype), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + bias.astype(jnp.float32)
+        return jax.nn.relu(instance_norm(y.astype(x.dtype)))
+
+    for name, fn, args_ in (
+        ("xla conv+IN+relu  ", xla_ref, (x, kern, bias, a, b)),
+        ("glue (split+pad)  ", glue, (x,)),
+        ("kernel w/o prolog ", noprol, (x, kern, bias)),
+        ("kernel + prologue ", full, (x, kern, bias, a, b)),
+    ):
+        t = timeit(fn, *args_)
+        print(f"{name}: {t*1e3:7.3f} ms", flush=True)
 
 
 def bench_prepost(iters: int, layers: bool = False, only: str = ""):

@@ -817,12 +817,6 @@ class ConvTranspose2d(nn.Module):
             if self.compute_dtype is not None:
                 x = x.astype(self.compute_dtype)
                 kernel = kernel.astype(self.compute_dtype)
-            if x.shape[1] < fused_plan.h_run:
-                x = jnp.pad(
-                    x,
-                    ((0, 0), (0, fused_plan.h_run - x.shape[1]),
-                     (0, 0), (0, 0)),
-                )
             phases, moments = convt3x3s2_fused(
                 x,
                 kernel,

@@ -897,62 +897,68 @@ def _convt_kernel(
     total = pl.num_programs(0) * n_h
     w = out_refs[0].shape[2]
     c = x_vmem.shape[3]
-    h_run = n_h * th
 
-    def dmas(bb, ii, slot):
-        main = pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(ii * th, th)],
-            x_vmem.at[slot, pl.ds(0, th), pl.ds(0, w)],
-            sems.at[slot, 0],
-        )
-        # bottom halo row i*th+th; clamp the source for the last tile (the
-        # loaded value is zero-masked below whenever its global row falls at
-        # or beyond logical_h, so the clamped duplicate is never read)
-        hsrc = jnp.minimum(ii * th + th, h_run - 1)
-        halo = pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(hsrc, 1)],
-            x_vmem.at[slot, pl.ds(th, 1), pl.ds(0, w)],
-            sems.at[slot, 1],
-        )
-        return main, halo
+    def issue(bb, ii, slot, what):
+        """Main rows [i*th, ...) + the bottom halo row, static extents per
+        edge variant (the input need NOT be padded to h_run — the last
+        tile's partial DMA stops at logical_h)."""
+        def run(rlen):
+            hsrc = jnp.minimum(ii * th + th, logical_h - 1)
+            ops = (
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(ii * th, rlen)],
+                    x_vmem.at[slot, pl.ds(0, rlen), pl.ds(0, w)],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    x_hbm.at[bb, pl.ds(hsrc, 1)],
+                    x_vmem.at[slot, pl.ds(th, 1), pl.ds(0, w)],
+                    sems.at[slot, 1],
+                ),
+            )
+            for op in ops:
+                getattr(op, what)()
 
-    def start(bb, ii, slot):
-        m, h_ = dmas(bb, ii, slot)
-        m.start()
-        h_.start()
+        if n_h == 1:
+            run(k_last)
+            return
 
-    def wait(bb, ii, slot):
-        m, h_ = dmas(bb, ii, slot)
-        m.wait()
-        h_.wait()
+        @pl.when(ii < i_p)
+        def _():
+            run(th)
+
+        @pl.when(ii == i_p)
+        def _():
+            run(k_last)
 
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
 
     @pl.when(step == 0)
     def _():
-        start(b, i, slot)
+        issue(b, i, slot, "start")
 
     @pl.when(step + 1 < total)
     def _():
         nstep = step + 1
-        start(nstep // n_h, jax.lax.rem(nstep, n_h), nxt)
+        issue(nstep // n_h, jax.lax.rem(nstep, n_h), nxt, "start")
 
-    wait(b, i, slot)
+    issue(b, i, slot, "wait")
     x = x_vmem[slot]  # (TH+1, W+8, C)
 
     if a_ref is not None:
-        xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
+        # prologue affine + act in the INPUT dtype — no f32 round-trip
+        # (the measured f32 chain cost ~0.9 ms/layer of VPU time, r3 probe)
+        x = x * a_ref[0] + pb_ref[0]
         if act_pre == "relu":
-            xf = jnp.maximum(xf, 0.0)
+            x = jnp.maximum(x, jnp.zeros((), x.dtype))
         elif act_pre == "lrelu":
-            xf = jnp.where(xf > 0, xf, 0.2 * xf)
+            x = jnp.where(x > 0, x, x * jnp.asarray(0.2, x.dtype))
         elif act_pre != "none":
             raise ValueError(f"unknown act_pre {act_pre!r}")
-        x = xf.astype(x_vmem.dtype)
 
-    # zero every row at/beyond logical_h (garbage h_run tail AND the torch
-    # zero H-pad row the m+1 taps read past the bottom edge)
+    # zero every row at/beyond logical_h (garbage last-tile tail AND the
+    # torch zero H-pad row the m+1 taps read past the bottom edge)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     x = jnp.where(row + i * th >= logical_h, jnp.zeros_like(x), x)
 
@@ -1060,8 +1066,8 @@ def convt3x3s2_fused(
     assert (kh, kw) == (3, 3) and cin == c, (kernel.shape, x.shape)
     assert plan is not None
     th, n_h = plan.th, plan.h_run // plan.th
-    assert hr == plan.h_run, (hr, plan.h_run)
     h = plan.logical_h
+    assert hr >= h, (hr, h)  # extra rows (if any) are never read
     i_p = (h - 1) // th
     assert i_p == n_h - 1, (i_p, n_h)
     k_last = h - i_p * th
@@ -1091,7 +1097,8 @@ def convt3x3s2_fused(
             (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec_nc, spec_nc]
-        args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
+        # prologue math runs in the INPUT dtype (see _convt_kernel)
+        args += [a.astype(x.dtype), pb.astype(x.dtype)]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(
@@ -1102,7 +1109,9 @@ def convt3x3s2_fused(
         (1, th, w, 2 * cout), lambda b, i: (b, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_shapes = [jax.ShapeDtypeStruct((n, hr, w, 2 * cout), x.dtype)] * 2
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, plan.h_run, w, 2 * cout), x.dtype)
+    ] * 2
     out_specs = [out_spec] * 2
     if want_moments:
         mspec = pl.BlockSpec(
@@ -1192,21 +1201,22 @@ def convt3x3s2_fused(
 
 
 def _down_kernel(
-    p_hbm,      # (N, 2, h_run, W2, 2C) HBM: row-phase planes, cols merged
+    x_hbm,      # (N, H/2, 2, W2, 2C) HBM — the FREE bitcast view of x
     w_ref,      # (6, 2C, Cout) VMEM — [Mp0, Np0, Mp1t, Np1t, Mp1b, Np1b]
-    a_ref,      # (1, 2C) f32 VMEM or None (prologue scale, tiled x2)
-    pb_ref,     # (1, 2C) f32 VMEM or None
+    a_ref,      # (1, 2C) VMEM or None (prologue scale, tiled x2, x dtype)
+    pb_ref,     # (1, 2C) VMEM or None
     b_ref,      # (1, Cout) VMEM or None
     out_ref,    # (1, TH, W2, Cout) VMEM block
     sum_ref,    # (1, 1, 1, Cout) f32 block or None
     sq_ref,     # (1, 1, 1, Cout) f32 block or None
-    x_vmem,     # scratch (2, 2, TH+1, W2+16, 2C)
-    sems,       # DMA semaphores (2, 3)
+    x_vmem,     # scratch (2, TH+1, 2, W2+16, 2C): row r <-> a = i*th-1+r
+    sems,       # DMA semaphores (2, 2)
     *,
     th: int,
     n_h: int,
     i_p: int,
     k_last: int,
+    h2: int,
     act_pre: str,
     w_mode: str,
     out_dtype,
@@ -1218,75 +1228,91 @@ def _down_kernel(
     w2 = out_ref.shape[2]
     c2 = x_vmem.shape[4]
 
-    def dmas(bb, ii, slot):
-        # P0 main rows a = [i*th, i*th+th) -> buffer rows [0, th)
-        p0 = pltpu.make_async_copy(
-            p_hbm.at[bb, 0, pl.ds(ii * th, th)],
-            x_vmem.at[slot, 0, pl.ds(0, th), pl.ds(8, w2)],
+    def dmas(bb, ii, slot, src0, dst0, rlen):
+        """Main rows + (wrap mode) the 8-col left-halo strip, one DMA each.
+        All extents STATIC; the caller picks the edge-tile variant."""
+        ops = [pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(src0, rlen)],
+            x_vmem.at[slot, pl.ds(dst0, rlen), slice(None), pl.ds(8, w2)],
             sems.at[slot, 0],
-        )
-        # P1 halo row a = i*th - 1 (clamped; zero-masked at tile 0) + main
-        hsrc = jnp.maximum(ii * th - 1, 0)
-        p1h = pltpu.make_async_copy(
-            p_hbm.at[bb, 1, pl.ds(hsrc, 1)],
-            x_vmem.at[slot, 1, pl.ds(0, 1), pl.ds(8, w2)],
-            sems.at[slot, 1],
-        )
-        p1m = pltpu.make_async_copy(
-            p_hbm.at[bb, 1, pl.ds(ii * th, th)],
-            x_vmem.at[slot, 1, pl.ds(1, th), pl.ds(8, w2)],
-            sems.at[slot, 2],
-        )
-        return p0, p1h, p1m
+        )]
+        if w_mode == "wrap":
+            ops.append(pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(src0, rlen), slice(None),
+                         pl.ds(w2 - 8, 8)],
+                x_vmem.at[slot, pl.ds(dst0, rlen), slice(None), pl.ds(0, 8)],
+                sems.at[slot, 1],
+            ))
+        return ops
+
+    def issue(bb, ii, slot, what):
+        """what: 'start' | 'wait'. Buffer row r holds a = ii*th - 1 + r;
+        edge tiles use static-length variants (dynamic DMA extents are not
+        expressible): first tile has no a=-1 row (row 0 zero-masked), the
+        last tile stops at a = h2-1."""
+        def run(src0, dst0, rlen):
+            for op in dmas(bb, ii, slot, src0, dst0, rlen):
+                getattr(op, what)()
+
+        if n_h == 1:
+            run(0, 1, h2)
+            return
+
+        @pl.when(ii == 0)
+        def _():
+            run(0, 1, th)
+
+        if i_p > 1:
+            @pl.when((ii > 0) & (ii < i_p))
+            def _():
+                run(ii * th - 1, 0, th + 1)
+
+        @pl.when(ii == i_p)
+        def _():
+            run(i_p * th - 1, 0, k_last + 1)
 
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
 
     @pl.when(step == 0)
     def _():
-        for op in dmas(b, i, slot):
-            op.start()
+        issue(b, i, slot, "start")
 
     @pl.when(step + 1 < total)
     def _():
         nstep = step + 1
-        for op in dmas(nstep // n_h, jax.lax.rem(nstep, n_h), nxt):
-            op.start()
+        issue(nstep // n_h, jax.lax.rem(nstep, n_h), nxt, "start")
 
-    for op in dmas(b, i, slot):
-        op.wait()
-    x = x_vmem[slot]  # (2, TH+1, W2+16, 2C)
+    issue(b, i, slot, "wait")
+    x = x_vmem[slot]  # (TH+1, 2, W2+16, 2C)
 
     if a_ref is not None:
-        xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
+        # prologue affine + act in the INPUT dtype (bf16 on the fast path):
+        # no f32 round-trip — the downstream conv re-reads bf16 anyway, and
+        # the measured f32 chain cost ~0.9 ms/layer of VPU time (r3 probe)
+        x = x * a_ref[0] + pb_ref[0]
         if act_pre == "relu":
-            xf = jnp.maximum(xf, 0.0)
+            x = jnp.maximum(x, jnp.zeros((), x.dtype))
         elif act_pre == "lrelu":
-            xf = jnp.where(xf > 0, xf, 0.2 * xf)
+            x = jnp.where(x > 0, x, x * jnp.asarray(0.2, x.dtype))
         elif act_pre != "none":
             raise ValueError(f"unknown act_pre {act_pre!r}")
-        x = xf.astype(x_vmem.dtype)
 
-    # P1's top halo row is the zero H pad when this is tile 0
-    plane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    x = jnp.where((plane == 1) & (row == 0) & (i == 0), jnp.zeros_like(x), x)
+    # tile 0's buffer row 0 (a = -1) is unwritten garbage: it is the zero
+    # H pad (one select; i == 0 folds it to a no-op on every other tile)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where((row0 == 0) & (i == 0), jnp.zeros_like(x), x)
 
-    # left halo col 7: merged column b = -1 = global cols (-2, -1), which
-    # wrap to merged col W2-1 (periodic longitude) or zero
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    if w_mode == "wrap":
-        right = jax.lax.slice_in_dim(x, 7 + w2, 8 + w2, axis=2)
-        x = jnp.where(col == 7, right, x)
-    elif w_mode == "zero":
+    if w_mode == "zero":
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
         x = jnp.where(col == 7, jnp.zeros_like(x), x)
-    else:
+    elif w_mode != "wrap":  # wrap cols arrive by DMA
         raise ValueError(f"unknown w_mode {w_mode!r}")
 
     def win(p, r0, c0):  # (TH, W2, 2C) window of row-phase plane p
         return jax.lax.slice(
-            x, (p, r0, c0, 0), (p + 1, r0 + th, c0 + w2, c2)
-        )[0]
+            x, (r0, p, c0, 0), (r0 + th, p + 1, c0 + w2, c2)
+        )[:, 0]
 
     def dot(v, t):
         return jax.lax.dot_general(
@@ -1296,9 +1322,12 @@ def _down_kernel(
         )
 
     # 6 K=2C dots: per (row window, column offset) one merged tap matrix
-    # (wrapper docstring for the layout). Column offset 8 = b=j, 7 = b=j-1.
-    acc = dot(win(0, 0, 8), 0)          # Mp0:  [W[1,1]; W[1,2]]
-    acc = acc + dot(win(0, 0, 7), 1)    # Np0:  [0;      W[1,0]]
+    # (wrapper docstring). Buffer row r <-> a = i*th-1+r, so plane-0 (dy=1,
+    # a=i) and plane-1/dy=2 (a=i) windows sit at rows [1, th+1) and the
+    # plane-1/dy=0 (a=i-1) window at rows [0, th). Column offset 8 = b=j,
+    # 7 = b=j-1.
+    acc = dot(win(0, 1, 8), 0)          # Mp0:  [W[1,1]; W[1,2]]
+    acc = acc + dot(win(0, 1, 7), 1)    # Np0:  [0;      W[1,0]]
     acc = acc + dot(win(1, 0, 8), 2)    # Mp1t: [W[0,1]; W[0,2]]  (a = i-1)
     acc = acc + dot(win(1, 0, 7), 3)    # Np1t: [0;      W[0,0]]
     acc = acc + dot(win(1, 1, 8), 4)    # Mp1b: [W[2,1]; W[2,2]]  (a = i)
@@ -1381,16 +1410,15 @@ def conv3x3s2_fused(
     if interpret is None:
         interpret = plan.interpret
 
-    # one fused XLA pass: row-phase slices + zero row-pad to h_run. The
-    # (h, w, c) -> (h/2, 2, w/2, 2c) view is a contiguous reshape, so plane
-    # P_p carries the two column phases MERGED on the channel axis — every
-    # HBM minor dim stays a 128 multiple (Mosaic DMA-slice requirement).
+    # ZERO-copy input: the (h, w, c) -> (h/2, 2, w/2, 2c) view is a
+    # contiguous reshape (a bitcast — no XLA pass at all; the first
+    # stack+pad formulation cost 1.9 ms alone at the down1 shape, as much
+    # as the whole XLA layer, r3 probe). Row-phase planes ride dim 2 of the
+    # view; column phases are MERGED on the channel axis, so every HBM
+    # minor dim stays a 128 multiple (Mosaic DMA-slice requirement). Edge
+    # tiles are handled by static-extent DMA variants in-kernel, not by
+    # padding.
     xv = x.reshape(n, h2, 2, w2, 2 * c)
-    planes = jnp.stack([xv[:, :, 0], xv[:, :, 1]], axis=1)  # (n,2,h2,w2,2c)
-    if plan.h_run > h2:
-        planes = jnp.pad(
-            planes, ((0, 0), (0, 0), (0, plan.h_run - h2), (0, 0), (0, 0))
-        )
 
     # 6 merged tap matrices (2c, cout): [q=0 half; q=1 half] per (row
     # window, column offset) — kernel[dy, dx] with dx=1 -> q=0 at b=j,
@@ -1410,16 +1438,17 @@ def conv3x3s2_fused(
         pl.BlockSpec(memory_space=pltpu.HBM),   # planes: manual DMA
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
     ]
-    args = [planes, w6]
+    args = [xv, w6]
     if prologue is not None:
         a, pb = prologue
         spec_nc = pl.BlockSpec(
             (1, 2 * c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec_nc, spec_nc]
+        # prologue math runs in the INPUT dtype (see _down_kernel)
         args += [
-            jnp.tile(a.astype(jnp.float32), (1, 2)),
-            jnp.tile(pb.astype(jnp.float32), (1, 2)),
+            jnp.tile(a.astype(x.dtype), (1, 2)),
+            jnp.tile(pb.astype(x.dtype), (1, 2)),
         ]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -1459,7 +1488,7 @@ def conv3x3s2_fused(
         _down_kernel(
             p_hbm, w_ref, a_ref, pb_ref, b_ref, out_ref, sum_ref, sq_ref,
             x_vmem, sems,
-            th=th, n_h=n_h, i_p=i_p, k_last=k_last,
+            th=th, n_h=n_h, i_p=i_p, k_last=k_last, h2=h2,
             act_pre=act_pre if prologue is not None else "none",
             w_mode=w_mode, out_dtype=x.dtype,
         )
@@ -1477,8 +1506,8 @@ def conv3x3s2_fused(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, th + 1, w2 + 16, 2 * c), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, th + 1, 2, w2 + 16, 2 * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=15 * 1024 * 1024 + 512 * 1024,

@@ -216,6 +216,29 @@ def test_resnet_generator_fused_updown_matches_default(monkeypatch):
     )
 
 
+def test_updown_hardware_gate(monkeypatch):
+    """On hardware (non-interpret) the down/up paths require the separate
+    BIASGAN_FUSED_UPDOWN opt-in — measured r3: they lose to XLA at the
+    globe shapes, so BIASGAN_FUSED_BLOCK alone must keep the blocks-only
+    optimum."""
+    from biasgan_tpu.nn import generators
+
+    g = generators.ResNetGenerator(
+        output_nc=3, ngf=64, n_blocks=1, norm_type="instance",
+        use_dropout=False, w_mode="wrap",
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "1")
+    monkeypatch.setattr(generators.jax, "default_backend", lambda: "tpu")
+    assert g._fused_updown_plans(x, False, None, "down") is None
+    monkeypatch.setenv("BIASGAN_FUSED_UPDOWN", "1")
+    assert g._fused_updown_plans(x, False, None, "down") is not None
+    # the block-chain gate is NOT behind the up/down opt-in
+    hb = jnp.zeros((1, 16, 16, 256))
+    monkeypatch.delenv("BIASGAN_FUSED_UPDOWN")
+    assert g._fused_block_plan(hb, False, None) is not None
+
+
 def test_down_plan_gates():
     assert conv3x3s2_plan(13, 32, 64, 128, jnp.float32) is None   # odd H
     assert conv3x3s2_plan(16, 34, 64, 128, jnp.float32) is None   # W/2 % 8

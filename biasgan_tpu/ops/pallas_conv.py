@@ -871,10 +871,10 @@ def conv3x3_fused(
 
 
 def _convt_kernel(
-    x_hbm,      # (N, h_run, W, C) HBM, unpadded
+    x_hbm,      # (N, H >= logical_h, W, C) HBM, unpadded
     w_ref,      # (6, C, 2*Cout) VMEM — merged tap matrices (see wrapper)
-    a_ref,      # (1, C) f32 VMEM or None (prologue scale)
-    pb_ref,     # (1, C) f32 VMEM or None (prologue shift)
+    a_ref,      # (1, C) VMEM or None (prologue scale, x dtype)
+    pb_ref,     # (1, C) VMEM or None (prologue shift, x dtype)
     b_ref,      # (1, 2*Cout) VMEM or None (convT bias, tiled x2)
     out_refs,   # 2 x (1, TH, W, 2*Cout) VMEM blocks: even rows, odd rows
     sum_ref,    # (1, 1, 1, 2*Cout) f32 block or None
@@ -1050,8 +1050,10 @@ def convt3x3s2_fused(
     interpret: Optional[bool] = None,
 ):
     """torch ``ConvTranspose2d(3, stride=2, padding=1, output_padding=1)``
-    (H zero pad, W ``w_mode``) on an UNPADDED (N, h_run, W, C) input, with an
-    optional instance-norm+act prologue and per-(N, Cout) output moments.
+    (H zero pad, W ``w_mode``) on an UNPADDED (N, H, W, C) input with
+    H >= plan.logical_h (extra rows are never read — no pad copy needed),
+    with an optional instance-norm+act prologue and per-(N, Cout) output
+    moments.
 
     Returns ``(even, odd)`` merged row-phase tensors (N, h_run, W, 2*Cout)
     whose channel halves are the two COLUMN phases — rows >=
@@ -1391,10 +1393,10 @@ def conv3x3s2_fused(
     ``w_mode``) on an (N, H, W, C) input with even H and W, with an optional
     instance-norm+act prologue and per-(N, Cout) output moments.
 
-    Returns ``y`` (N, H/2, W/2, Cout) — exact, no garbage rows (the phase
-    planes are zero-padded to the row-tile multiple by the wrapper's fused
-    slice+pad pass) — plus ``(sum, sumsq)`` f32 (N, Cout) when
-    ``want_moments``.
+    Returns ``y`` (N, H/2, W/2, Cout) — exact — plus ``(sum, sumsq)`` f32
+    (N, Cout) when ``want_moments``. The input is consumed through a FREE
+    contiguous bitcast view; edge tiles use static-extent DMA variants, so
+    no padding copy exists anywhere on this path.
     """
     n, hh, ww, c = x.shape
     kh, kw, cin, cout = kernel.shape

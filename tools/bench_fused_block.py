@@ -288,6 +288,10 @@ def bench_downprobe(iters: int):
 
     @jax.jit
     def glue(x):
+        # HISTORICAL probe: the v2 kernel's XLA stack+pad input pass,
+        # measured 1.9 ms standalone (as much as the whole XLA layer) —
+        # the current kernel DMAs straight from the contiguous bitcast
+        # view, so this pass no longer exists in the product path
         h2, w2 = h // 2, w // 2
         xv = x.reshape(n, h2, 2, w2, 2 * c)
         planes = jnp.stack([xv[:, :, 0], xv[:, :, 1]], axis=1)

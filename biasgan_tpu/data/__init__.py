@@ -166,11 +166,29 @@ def create_dataset(cfg, split: Optional[str] = None) -> DataLoader:
 
     dataset = get_dataset(cfg.dataset_mode)(cfg)
     vs = int(getattr(cfg, "val_split", 0) or 0)
+    if split is not None:
+        # fail loudly: a typo'd split name or a val request without
+        # --val_split would otherwise silently return the FULL dataset and
+        # 'held-out' metrics would be computed on training data
+        if split not in ("train", "val"):
+            raise ValueError(f"unknown split {split!r} (train|val)")
+        if vs <= 0:
+            raise ValueError(
+                f"split={split!r} requested but --val_split is not set"
+            )
     if split in ("train", "val") and vs > 0:
         n = len(dataset)
         if vs >= n:
             raise ValueError(
                 f"--val_split {vs} must be smaller than the dataset ({n})"
+            )
+        if split == "val" and vs < cfg.batch_size:
+            # the loader drops partial batches (static jit shapes), so a
+            # sub-batch val split would silently yield ZERO batches —
+            # disabling the held-out metrics AND the plateau LR decay
+            raise ValueError(
+                f"--val_split {vs} must be >= --batch_size "
+                f"{cfg.batch_size} (the val loader yields full batches)"
             )
         dataset = (
             _Subset(dataset, 0, n - vs)

@@ -183,7 +183,10 @@ class ResNetBlock(nn.Module):
             # the bf16 downcast commute; stats are f32 of the stored conv
             # output exactly like instance_norm) — tests/unit/
             # test_fused_block.py asserts equivalence.
-            from biasgan_tpu.ops.pallas_conv import instance_moments_to_affine
+            from biasgan_tpu.ops.pallas_conv import (
+                apply_affine,
+                instance_moments_to_affine,
+            )
 
             count = fused_plan.logical_h * x.shape[2]
             y0, m0 = convmod("conv0")(
@@ -195,11 +198,7 @@ class ResNetBlock(nn.Module):
                 want_moments=True,
             )
             a1, b1 = instance_moments_to_affine(*m1, count)
-            yn = (
-                y1.astype(jnp.float32) * a1[:, None, None, :]
-                + b1[:, None, None, :]
-            ).astype(y1.dtype)
-            return yn + x
+            return apply_affine(y1, a1, b1) + x
 
         h = conv("conv0", x)
         h = norm_act(h, self.norm_type, "norm0", train, ctx, activation="relu", dtype=self.compute_dtype)
@@ -366,6 +365,7 @@ class ResNetGenerator(nn.Module):
                 # activation crosses HBM once (ops/pallas_conv.py,
                 # conv3x3s2_fused).
                 from biasgan_tpu.ops.pallas_conv import (
+                    apply_affine,
                     instance_moments_to_affine,
                 )
 
@@ -382,11 +382,7 @@ class ResNetGenerator(nn.Module):
                     a, b = instance_moments_to_affine(
                         *m, h.shape[1] * h.shape[2]
                     )
-                h = jnp.maximum(
-                    h.astype(jnp.float32) * a[:, None, None, :]
-                    + b[:, None, None, :],
-                    0.0,
-                ).astype(h.dtype)
+                h = apply_affine(h, a, b, relu=True)
             else:
                 h = norm_act(h, self.norm_type, "stem_norm", train, ctx, activation="relu", dtype=self.compute_dtype)
                 # downsample (zero padding, reference semantics)
@@ -444,7 +440,10 @@ class ResNetGenerator(nn.Module):
             # Fused up path (ops/pallas_conv.convt3x3s2_fused): up0's norm
             # rides into up1 as a prologue; up1's norm runs as one XLA
             # affine pass fused into the phase-interleave stack.
-            from biasgan_tpu.ops.pallas_conv import instance_moments_to_affine
+            from biasgan_tpu.ops.pallas_conv import (
+                apply_affine,
+                instance_moments_to_affine,
+            )
 
             a = b = None
             for i in range(2):
@@ -456,11 +455,7 @@ class ResNetGenerator(nn.Module):
                 a, b = instance_moments_to_affine(
                     *m, h.shape[1] * h.shape[2]
                 )
-            h = jnp.maximum(
-                h.astype(jnp.float32) * a[:, None, None, :]
-                + b[:, None, None, :],
-                0.0,
-            ).astype(h.dtype)
+            h = apply_affine(h, a, b, relu=True)
         else:
             for i in range(2):
                 h = up_mod(i)(h, ctx)

@@ -539,6 +539,18 @@ def instance_moments_to_affine(
     return a, -mean * a
 
 
+def apply_affine(
+    y: Array, a: Array, b: Array, relu: bool = False
+) -> Array:
+    """Per-(N, C) instance-norm affine on a conv output: f32 math (matching
+    ``instance_norm``'s stats dtype), optional ReLU, downcast to y.dtype —
+    the one XLA elementwise pass that closes a fused-kernel chain."""
+    yn = y.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    if relu:
+        yn = jnp.maximum(yn, 0.0)
+    return yn.astype(y.dtype)
+
+
 def _fused_kernel(
     x_hbm,      # (N, h_run, W, C) HBM, unpadded
     w_ref,      # (9, C, Cout) VMEM

@@ -107,14 +107,38 @@ def restore_state(run_dir: str, tag: str, abstract_state):
 
 
 def restore_raw(run_dir: str, tag: str):
-    """Restore a checkpoint with its saved structure (no abstract tree) —
-    for cross-model loading, e.g. TestModel extracting G_A from a CycleGAN
-    checkpoint (reference --model_suffix semantics)."""
+    """Restore a checkpoint with its SAVED structure (no caller-side
+    abstract tree) — for cross-model loading, e.g. TestModel extracting
+    G_A from a CycleGAN checkpoint (reference --model_suffix semantics),
+    or test-phase G-only models grafting from a full training state.
+
+    The abstract target is rebuilt from the checkpoint's own metadata with
+    THIS process's sharding: without one, orbax replays the sharding file
+    written at save time, which names the SAVING topology — a checkpoint
+    written on a TPU mesh could not restore on a CPU host or a different
+    chip count."""
     wait_for_saves()
     path = _resolve(run_dir, tag)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no checkpoint at {path}")
-    return _checkpointer().restore(path)
+    ckptr = _checkpointer()
+    abstract = None
+    try:
+        meta = ckptr.metadata(path)
+        tree = meta.item_metadata  # StepMetadata -> per-leaf metadata
+        tree = getattr(tree, "tree", tree)
+        local = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=local)
+            if getattr(m, "shape", None) is not None
+            else m,
+            tree,
+        )
+    except Exception:  # metadata unavailable: fall back to saved shardings
+        abstract = None
+    if abstract is not None:
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)
 
 
 def load_meta(run_dir: str, tag: str) -> Dict[str, Any]:

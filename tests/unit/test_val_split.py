@@ -59,6 +59,31 @@ def test_oversized_split_rejected():
         create_dataset(cfg, split="train")
 
 
+def test_subbatch_split_rejected():
+    """--val_split smaller than one batch would silently yield ZERO val
+    batches (the loader drops partial batches), disabling both the
+    held-out metrics and the plateau decay — must fail loudly instead
+    (r3 review finding)."""
+    import pytest
+
+    cfg = _cfg(["--val_split", "1"])  # batch_size 2
+    with pytest.raises(ValueError, match="batch_size"):
+        create_dataset(cfg, split="val")
+    # the train side of the same split is fine
+    assert create_dataset(cfg, split="train").num_samples == 11
+
+
+def test_bogus_split_rejected():
+    """A typo'd split name (or a split request without --val_split) must
+    not silently return the FULL dataset as 'validation'."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown split"):
+        create_dataset(_cfg(["--val_split", "4"]), split="valid")
+    with pytest.raises(ValueError, match="val_split is not set"):
+        create_dataset(_cfg(), split="val")
+
+
 def test_train_cli_heldout_validation_and_plateau(tmp_path):
     """train.py with --val_split: prints held-out metric bundles, reports
     the val sample count, and the plateau policy consumes the val RMSE."""

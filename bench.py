@@ -3,8 +3,12 @@
 samples/sec/chip for a combined G+D train step at 256x256 fields
 (full pix2pix: unet_256 G + basic PatchGAN D, vanilla GAN + L1).
 
-Prints ONE JSON line:
+ALWAYS prints ONE JSON line, even on backend failure:
   {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+(on failure "value" is 0.0 and an "error" field carries the diagnosis —
+round 3 lost its BENCH artifact to a bare backend-init traceback, so the
+backend is now probed in a disposable subprocess with retry/backoff before
+this process touches it, and every failure path still emits the JSON line).
 
 vs_baseline: the reference publishes no number capturable in this
 environment (BASELINE.md), so the denominator is OUR round-1 f32
@@ -12,31 +16,115 @@ single-chip measurement (REF_R1 below) — i.e. vs_baseline tracks speedup
 over this build's own first baseline. Update BASELINE.md when re-measuring.
 
 Env knobs: BENCH_DTYPE=float32|bfloat16 (default bfloat16: MXU-native),
-BENCH_BATCH (default 16), BENCH_STEPS (default 20).
+BENCH_BATCH (default 128), BENCH_STEPS (default 12), BENCH_SCAN (default 4),
+BENCH_PROBE_TRIES/BENCH_PROBE_TIMEOUT/BENCH_PROBE_WAIT (probe policy),
+BENCH_PROBE_CMD (test hook: replaces the probe subprocess command).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from biasgan_tpu import enable_compile_cache, respect_platform_env
-
-respect_platform_env()
-enable_compile_cache()
-from biasgan_tpu.config import merge_config_cls, TrainConfig
-from biasgan_tpu.models.pix2pix import Pix2PixConfig, create_state, make_train_step
+import traceback
 
 # Round-1 f32 reference point (samples/sec/chip on TPU v5e, this repo @ r1,
 # first honest measurement with host-readback sync — see BASELINE.md).
 REF_R1 = 656.4
 
+METRIC = "pix2pix_256_G+D_train_step"
+UNIT = "samples/sec/chip"
 
-def main():
+# Tiny matmul + HOST READBACK in a fresh interpreter: the readback is the
+# only reliable "backend actually works" signal through the axon tunnel
+# (block_until_ready is a no-op there). The subprocess inherits this
+# environment's sitecustomize, so it probes the same backend main() will use.
+_PROBE_SRC = (
+    "import os, jax;"
+    "p = os.environ.get('BIASGAN_PLATFORM');"
+    "p and jax.config.update('jax_platforms', p);"
+    "import jax.numpy as jnp;"
+    "x = jnp.ones((128, 128), jnp.bfloat16);"
+    "print('probe-ok', float((x @ x).sum()))"
+)
+
+
+def _emit(value: float, vs: float, error: str | None = None) -> None:
+    rec = {
+        "metric": METRIC,
+        "value": round(value, 2),
+        "unit": UNIT,
+        "vs_baseline": round(vs, 3),
+    }
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec), flush=True)
+
+
+def _probe_backend(timeout_s: int) -> tuple[bool, bool, str]:
+    """Probe the backend in a disposable subprocess.
+
+    Returns (ok, hung, detail). A hang (timeout) means a wedged tunnel —
+    distinct from a fast UNAVAILABLE refusal, because the wedge lasts ~50
+    min and retrying within this process's budget is pointless, while the
+    fast refusal is intermittent (r1/r2 benched fine) and worth retrying.
+    """
+    cmd = os.environ.get("BENCH_PROBE_CMD")
+    argv = (
+        ["/bin/sh", "-c", cmd] if cmd else [sys.executable, "-c", _PROBE_SRC]
+    )
+    try:
+        p = subprocess.run(
+            argv, capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return False, True, f"backend probe hung >{timeout_s}s (wedged tunnel)"
+    if p.returncode != 0:
+        detail = (p.stderr or p.stdout or "").strip().splitlines()
+        return False, False, detail[-1][-300:] if detail else f"rc={p.returncode}"
+    return True, False, ""
+
+
+def _probe_with_retry() -> str | None:
+    """Returns None when the backend is usable, else a diagnostic string."""
+    tries = int(os.environ.get("BENCH_PROBE_TRIES", "3"))
+    timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
+    wait_s = int(os.environ.get("BENCH_PROBE_WAIT", "240"))
+    detail = ""
+    for attempt in range(1, tries + 1):
+        ok, hung, detail = _probe_backend(timeout_s)
+        if ok:
+            return None
+        print(
+            f"# bench probe {attempt}/{tries} failed: {detail}",
+            file=sys.stderr,
+            flush=True,
+        )
+        if hung:
+            # Wedge: lasts far longer than any sane retry budget here.
+            return detail
+        if attempt < tries:
+            time.sleep(wait_s)
+    return f"backend probe failed {tries}x: {detail}"
+
+
+def _run_bench() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from biasgan_tpu import enable_compile_cache, respect_platform_env
+
+    respect_platform_env()
+    enable_compile_cache()
+    from biasgan_tpu.config import merge_config_cls, TrainConfig
+    from biasgan_tpu.models.pix2pix import (
+        Pix2PixConfig,
+        create_state,
+        make_train_step,
+    )
+
     # batch 128 is the measured single-chip throughput sweet spot (the step
     # is HBM-bandwidth-bound; larger batches amortize the fixed
     # param/optimizer traffic — see BASELINE.md profiling note: 16->940,
@@ -101,16 +189,20 @@ def main():
 
     samples_per_sec = batch * scan_k * steps / best_dt
     vs = samples_per_sec / REF_R1 if REF_R1 else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "pix2pix_256_G+D_train_step",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    _emit(samples_per_sec, vs)
+
+
+def main() -> None:
+    diag = _probe_with_retry()
+    if diag is not None:
+        _emit(0.0, 0.0, error=diag)
+        return
+    try:
+        _run_bench()
+    except Exception:
+        traceback.print_exc()  # full forensics on stderr
+        tb = traceback.format_exc().strip().splitlines()
+        _emit(0.0, 0.0, error=f"bench raised: {tb[-1][-300:]}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,172 @@
+"""Wedge-robustness of the driver hooks (bench.py + dryrun_multichip).
+
+Round 3 lost both driver artifacts to a wedged axon TPU tunnel:
+MULTICHIP_r03 hung forever at a live-backend `len(jax.devices())` probe
+(rc=124, empty tail) and BENCH_r03 died on a bare backend-init traceback
+(rc=1, parsed=null). These tests FORCE those failure modes — a hanging
+probe, a fast-refusing probe, a hanging dryrun child — and assert the
+hooks now fail fast with a diagnostic instead of hanging or emitting
+nothing (VERDICT r3 item 1).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run_bench(env_extra, timeout=120):
+    env = dict(os.environ)
+    env["BIASGAN_PLATFORM"] = "cpu"
+    env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=timeout,
+    )
+
+
+def _last_json_line(stdout):
+    lines = [l for l in stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, f"no JSON line in bench output:\n{stdout}"
+    return json.loads(lines[-1])
+
+
+def test_bench_hanging_probe_fails_fast():
+    """A wedged tunnel (probe hang) must yield ONE diagnostic JSON line,
+    quickly, with no retry loop (the wedge outlives any retry budget)."""
+    p = _run_bench(
+        {
+            "BENCH_PROBE_CMD": "sleep 60",
+            "BENCH_PROBE_TIMEOUT": "2",
+            "BENCH_PROBE_TRIES": "3",
+            "BENCH_PROBE_WAIT": "60",  # would blow the test timeout if retried
+        },
+        timeout=60,
+    )
+    assert p.returncode == 0, p.stderr
+    rec = _last_json_line(p.stdout)
+    assert rec["value"] == 0.0
+    assert "hung" in rec["error"]
+    assert rec["metric"] and rec["unit"] and "vs_baseline" in rec
+
+
+def test_bench_refusing_probe_retries_then_diagnoses():
+    """A fast backend refusal (UNAVAILABLE-style) is retried with backoff,
+    then reported as a diagnostic JSON line with rc=0."""
+    p = _run_bench(
+        {
+            "BENCH_PROBE_CMD": "echo 'RuntimeError: Unable to initialize backend' >&2; exit 1",
+            "BENCH_PROBE_TRIES": "2",
+            "BENCH_PROBE_WAIT": "0",
+            "BENCH_PROBE_TIMEOUT": "30",
+        }
+    )
+    assert p.returncode == 0, p.stderr
+    rec = _last_json_line(p.stdout)
+    assert rec["value"] == 0.0
+    assert "failed 2x" in rec["error"]
+    assert "Unable to initialize backend" in rec["error"]
+    # both attempts logged to stderr for forensics
+    assert p.stderr.count("bench probe") == 2
+
+
+def test_bench_exception_after_probe_still_emits_json():
+    """If the bench body raises after a good probe, the JSON line still
+    appears (value 0 + error), not a bare traceback."""
+    p = _run_bench(
+        {
+            "BENCH_PROBE_CMD": "true",
+            "BENCH_DTYPE": "not-a-dtype",  # forces a fast failure in the body
+        }
+    )
+    assert p.returncode == 0, p.stderr
+    rec = _last_json_line(p.stdout)
+    assert rec["value"] == 0.0
+    assert "bench raised" in rec["error"]
+
+
+def test_dryrun_never_touches_live_backend(monkeypatch):
+    """dryrun_multichip must not call jax.devices()/jax.local_devices() in
+    the parent process — on a wedged tunnel that call hangs forever and
+    try/except cannot catch it (MULTICHIP_r03 rc=124)."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as ge
+    finally:
+        sys.path.pop(0)
+    import jax
+
+    def _boom(*a, **k):
+        raise AssertionError("live backend touched in parent process")
+
+    monkeypatch.setattr(jax, "devices", _boom)
+    monkeypatch.setattr(jax, "local_devices", _boom)
+    monkeypatch.delenv("BIASGAN_DRYRUN_LIVE", raising=False)
+
+    calls = {}
+
+    class FakeProc:
+        returncode = 0
+
+        def __init__(self):
+            import io
+
+            self.stdout = io.StringIO("[dryrun] all 8 stages OK\n")
+
+        def wait(self):
+            return 0
+
+        def kill(self):
+            pass
+
+    def fake_popen(argv, **kw):
+        calls["argv"] = argv
+        calls["env"] = kw.get("env", {})
+        return FakeProc()
+
+    monkeypatch.setattr(ge.subprocess, "Popen", fake_popen)
+    ge.dryrun_multichip(8)
+
+    assert calls["argv"][0] == sys.executable
+    assert "--dryrun" in calls["argv"]
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
+    assert calls["env"]["BIASGAN_PLATFORM"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in calls["env"]["XLA_FLAGS"]
+
+
+def test_dryrun_watchdog_kills_hanging_child(monkeypatch):
+    """A hanging dryrun child is killed by the watchdog and reported as a
+    timeout naming the budget — never an indefinite hang."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as ge
+    finally:
+        sys.path.pop(0)
+
+    real_popen = subprocess.Popen
+
+    def fake_popen(argv, **kw):
+        return real_popen(
+            ["/bin/sh", "-c", "echo '[dryrun] stage 0/8: hang here'; sleep 60"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    monkeypatch.setattr(ge.subprocess, "Popen", fake_popen)
+    monkeypatch.setenv("BIASGAN_DRYRUN_TIMEOUT", "2")
+    monkeypatch.delenv("BIASGAN_DRYRUN_LIVE", raising=False)
+    with pytest.raises(RuntimeError) as ei:
+        ge.dryrun_multichip(8)
+    msg = str(ei.value)
+    assert "timed out after 2s" in msg
+    # the tail names the dying stage
+    assert "stage 0/8" in msg

@@ -89,6 +89,20 @@ class BaseConfig:
     # single chip (--spatial_mesh 1). Measured numbers: BASELINE.md r3
     # fused-block section.
     fused_blocks: bool = False
+    # --- kernel-routing perf gates (perf_gates.py) ---
+    # These were raw env vars in r3 (invisible to --help and the dumped
+    # config JSON — VERDICT r3 weak #4); now config fields so a rerun from a
+    # saved config reproduces the kernel routing. The BIASGAN_* env vars
+    # remain as explicit overrides for tests/ad-hoc benches. Defaults are
+    # the measured optima (BASELINE.md); see perf_gates.PerfGates for the
+    # per-knob evidence.
+    pallas_conv: str = ""  # ''|'1'|'interpret': Pallas 3x3 conv routing
+    fused_updown: bool = False  # fused stride-2 down/up kernels (opt-in)
+    fused_min_c: int = 128  # min channel width for fused-kernel eligibility
+    s2d_max_cout: int = 8  # space-to-depth restructuring: max C_out
+    s2d_min_m: int = 65536  # ... and min GEMM rows M = N*H*W
+    convt_d2s: bool = False  # depth-to-space transposed-conv decomposition
+    force_pallas_norm: bool = False  # fused Pallas instance-norm kernel
 
     def resolved_name(self) -> str:
         if self.suffix:
@@ -142,6 +156,17 @@ class TrainConfig(BaseConfig):
     # capture a jax.profiler trace of steps 10-20 of the first epoch into
     # <run_dir>/profile (view with TensorBoard's profile plugin)
     profile: bool = False
+    # --- sanitizer tier (SURVEY.md section 5 race-detection/sanitizer row) ---
+    # every N optimization steps, sync the losses and raise
+    # FloatingPointError naming the offending key if any is NaN/Inf (plus a
+    # parameter-tree sweep every 10th check). Host-side at the existing
+    # print-point sync — zero hot-loop cost. 0 = off (a NaN'd GAN run
+    # otherwise reports nothing until someone reads the loss print).
+    check_finite: int = 0
+    # debugging runs: jax.config.update('jax_debug_nans', True) — every
+    # primitive re-checked on host, ~orders slower; locates the op that
+    # produced the first NaN. Use --check_finite for production guarding.
+    debug_nans: bool = False
     # dataset-size dependent; set by the driver for in-graph LR schedules
     steps_per_epoch: int = 0
 
@@ -242,7 +267,14 @@ def parse_config(argv: Optional[List[str]] = None, train: bool = True):
 
     cfg_cls = merge_config_cls(base_cls, *extra_cfgs)
     valid = {f.name for f in fields(cfg_cls)}
-    return cfg_cls(**{k: v for k, v in vars(ns).items() if k in valid})
+    cfg = cfg_cls(**{k: v for k, v in vars(ns).items() if k in valid})
+
+    # install the kernel-routing gates carried by this config so every
+    # trace after parse honors them (and the dumped JSON reproduces them)
+    from biasgan_tpu import perf_gates
+
+    perf_gates.apply_from_config(cfg)
+    return cfg
 
 
 _MERGED_CACHE = {}

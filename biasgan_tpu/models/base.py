@@ -191,6 +191,22 @@ class BaseModel:
             for k, v in self._losses.items()
         }
 
+    def check_finite(self, where: str = "", params: bool = False) -> None:
+        """Sanitizer hook (--check_finite N, SURVEY.md section 5 sanitizer
+        row): raise FloatingPointError naming the offending loss key if the
+        last step produced a non-finite loss; with ``params=True`` also
+        sweep every net's parameter tree (catches a NaN that reached the
+        weights even when the printed losses still look clean)."""
+        from biasgan_tpu.utils import diagnostics
+
+        diagnostics.check_losses_finite(self.get_current_losses(), where)
+        if params:
+            for name, variables in self.state.nets.items():
+                diagnostics.assert_finite(
+                    {f"net{name}.params": variables},
+                    where or f"step {self._host_step}",
+                )
+
     def get_current_visuals(self) -> Dict[str, np.ndarray]:
         return {
             k: np.asarray(v)

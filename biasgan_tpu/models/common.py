@@ -61,10 +61,13 @@ def adam_transform(
 
 def adam_transform_of(cfg):
     """adam_transform from a TrainConfig (beta1 + --adam_mu_dtype)."""
-    mu = {"float32": None, "bfloat16": jnp.bfloat16}[
-        getattr(cfg, "adam_mu_dtype", "float32")
-    ]
-    return adam_transform(cfg.beta1, mu_dtype=mu)
+    choices = {"float32": None, "bfloat16": jnp.bfloat16}
+    val = getattr(cfg, "adam_mu_dtype", "float32")
+    if val not in choices:
+        raise ValueError(
+            f"--adam_mu_dtype {val!r}: must be one of {sorted(choices)}"
+        )
+    return adam_transform(cfg.beta1, mu_dtype=choices[val])
 
 
 def make_lr_schedule(cfg):

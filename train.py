@@ -59,6 +59,13 @@ def _build_val_loader(cfg):
 
 def main(argv=None):
     cfg = parse_config(argv, train=True)
+    if getattr(cfg, "debug_nans", False):
+        import jax
+
+        # locate the op that produces the first NaN (debugging runs only:
+        # re-checks every primitive on host, orders slower than the guard
+        # cadence of --check_finite)
+        jax.config.update("jax_debug_nans", True)
     dataset = create_dataset(
         cfg, split="train" if getattr(cfg, "val_split", 0) > 0 else None
     )
@@ -123,6 +130,14 @@ def main(argv=None):
             model.set_input(data)
             model.optimize_parameters()
 
+            if cfg.check_finite and step_count % cfg.check_finite == 0:
+                # sanitizer tier: raises FloatingPointError naming the
+                # offending loss key; params swept every 10th check
+                model.check_finite(
+                    where=f"epoch {epoch}, iters {total_iters}",
+                    params=(step_count % (10 * cfg.check_finite) == 0),
+                )
+
             if profiling and step_count >= 20:
                 import jax
 
@@ -159,6 +174,12 @@ def main(argv=None):
 
             if total_iters % cfg.print_freq < cfg.batch_size * spc:
                 losses = model.get_current_losses()  # device sync point
+                # NOTE: "time:" in the loss line is enqueue+sync at PRINT
+                # points only — optimize_parameters is async by design
+                # (base.py), so between prints the per-iteration wall time is
+                # not the step time. Reference-faithful log cadence; for real
+                # step timing use bench.py (host-readback sync each window)
+                # or --profile.
                 t_comp = (time.time() - iter_start) / (cfg.batch_size * spc)
                 visualizer.print_current_losses(
                     epoch, total_iters, losses, t_comp, t_data

@@ -185,8 +185,63 @@ class ResNetBlock(nn.Module):
             # test_fused_block.py asserts equivalence.
             from biasgan_tpu.ops.pallas_conv import (
                 apply_affine,
+                embed_halo_w,
                 instance_moments_to_affine,
             )
+
+            if ctx is not None:
+                # Spatially-sharded composition (--fused_blocks x
+                # --spatial_mesh): each conv's SAME-pad columns are the ring
+                # neighbors' edge columns (HaloCtx.pad_w — ppermute or RDMA),
+                # embedded in the kernel's scratch layout and consumed with
+                # w_mode='halo'; instance-norm moments are psum'd over the
+                # spatial axis so the affine is W-GLOBAL, exactly like the
+                # unfused spatial path (parallel/spatial.py design note).
+                # Equivalence to the whole-field forward:
+                # tests/distributed/test_fused_spatial.py.
+                count = fused_plan.logical_h * x.shape[2] * ctx.n_shards
+
+                def exchange(h, edge_raw=None):
+                    """Halo-exchange h's edge columns into the kernel's
+                    pre-padded layout. ``edge_raw`` ((N, C), raw space)
+                    overwrites the GLOBAL-edge halo columns when the field
+                    is non-periodic: the whole-field semantics zero the
+                    SAME-pad column AFTER the prologue affine, but the
+                    halo carries the RAW conv output — so the edge value
+                    must be the pre-image of post-prologue zero, i.e. the
+                    instance mean -b/a (ReLU then keeps the 0). ppermute's
+                    zero-fill is only correct for the un-prologue'd conv."""
+                    hp = ctx.pad_w(h, 1, 1)
+                    if edge_raw is not None and not ctx.periodic:
+                        r = jax.lax.axis_index(ctx.axis)
+                        col = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, hp.shape[2], 1), 2
+                        )
+                        mask = ((r == 0) & (col == 0)) | (
+                            (r == ctx.n_shards - 1)
+                            & (col == hp.shape[2] - 1)
+                        )
+                        pv = edge_raw[:, None, None, :].astype(hp.dtype)
+                        hp = jnp.where(mask, pv, hp)
+                    return embed_halo_w(hp)
+
+                def gsum(m):
+                    return jax.tree_util.tree_map(
+                        lambda v: jax.lax.psum(v, ctx.axis), m
+                    )
+
+                y0, m0 = convmod("conv0")(
+                    exchange(x), ctx, fused_plan=fused_plan,
+                    want_moments=True, w_halo=True,
+                )
+                a0, b0 = instance_moments_to_affine(*gsum(m0), count)
+                y1, m1 = convmod("conv1")(
+                    exchange(y0, edge_raw=-b0 / a0), ctx,
+                    fused_plan=fused_plan,
+                    prologue=(a0, b0), want_moments=True, w_halo=True,
+                )
+                a1, b1 = instance_moments_to_affine(*gsum(m1), count)
+                return apply_affine(y1, a1, b1) + x
 
             count = fused_plan.logical_h * x.shape[2]
             y0, m0 = convmod("conv0")(
@@ -232,7 +287,11 @@ class ResNetGenerator(nn.Module):
     def _fused_block_plan(self, h: Array, train: bool, ctx):
         """Gate + plan for the fused resnet-block inference path
         (BIASGAN_FUSED_BLOCK=1 on TPU, =interpret for CPU tests): instance
-        norm, eval mode, no dropout, unsharded, aligned W, C >= 128."""
+        norm, eval mode, no dropout, aligned LOCAL W, C >= 128. Composes
+        with spatial sharding (ctx = HaloCtx): pads become halo-exchanged
+        neighbor columns and moments are psum'd W-globally (the w_mode
+        'halo' path in ops/pallas_conv.py), so eligibility under ctx only
+        needs the per-shard width aligned."""
         import os
 
         fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
@@ -241,13 +300,16 @@ class ResNetGenerator(nn.Module):
             or train
             or self.norm_type != "instance"
             or self.use_dropout
-            or ctx is not None
         ):
             return None
+        if ctx is not None and not hasattr(ctx, "pad_w"):
+            return None  # unknown sharding protocol: take the safe path
         if fb != "interpret" and jax.default_backend() != "tpu":
             return None
         _, hh, ww, cc = h.shape
-        if cc < int(os.environ.get("BIASGAN_FUSED_MIN_C", "128")):
+        from biasgan_tpu import perf_gates
+
+        if cc < perf_gates.fused_min_c():
             return None
         from biasgan_tpu.ops.pallas_conv import fused_block_plan
 
@@ -277,11 +339,13 @@ class ResNetGenerator(nn.Module):
         # block chain, so BIASGAN_FUSED_BLOCK alone keeps the measured
         # optimum (blocks-only). Interpret mode (CPU tests) exercises them
         # unconditionally.
-        if fb != "interpret" and not os.environ.get("BIASGAN_FUSED_UPDOWN"):
+        from biasgan_tpu import perf_gates
+
+        if fb != "interpret" and not perf_gates.fused_updown():
             return None
         # gate on the largest channel width in the chain (ngf*4), the same
-        # knob the block gate uses (BIASGAN_FUSED_MIN_C, default 128)
-        if self.ngf * 4 < int(os.environ.get("BIASGAN_FUSED_MIN_C", "128")):
+        # knob the block gate uses (--fused_min_c, default 128)
+        if self.ngf * 4 < perf_gates.fused_min_c():
             return None
         from biasgan_tpu.ops.pallas_conv import (
             conv3x3s2_plan,

@@ -700,6 +700,7 @@ class Conv2d(nn.Module):
         fused_s2_plan=None,
         prologue=None,
         want_moments: bool = False,
+        w_halo: bool = False,
     ):
         kh, kw = self.kernel_size
         cin = x.shape[-1]
@@ -750,7 +751,9 @@ class Conv2d(nn.Module):
                 act_pre="relu",
                 plan=fused_plan,
                 h_mode=self.h_mode,
-                w_mode=self.w_mode,
+                # w_halo: the caller pre-exchanged neighbor columns into the
+                # embed_halo_w layout (spatial-sharding composition)
+                w_mode="halo" if w_halo else self.w_mode,
                 want_moments=want_moments,
             )
         return conv2d(

@@ -216,7 +216,9 @@ def _kernel(
 
 
 def _pick_th(h: int, w: int, c: int, cout: int, dtype, variant: str) -> int:
-    """Largest row tile (divisor of H) whose buffers fit the VMEM budget."""
+    """Largest row tile whose buffers fit the VMEM budget. No divisibility
+    of H is required or checked: callers ceil-pad H to a tile multiple
+    (h_run) and the last tile reads into the pad rows."""
     esize = jnp.dtype(dtype).itemsize
     for th in (64, 32, 16, 8, 4, 2, 1):
         wp = -(-(w + 2) // 8) * 8
@@ -551,6 +553,17 @@ def apply_affine(
     return yn.astype(y.dtype)
 
 
+def embed_halo_w(xp: Array) -> Array:
+    """(N, H, w+2, C) halo-exchanged input (HaloCtx.pad_w(x, 1, 1)) ->
+    (N, H, w+16, C) in ``conv3x3_fused(w_mode='halo')``'s scratch layout:
+    data at columns 8..8+w-1, the neighbor halo columns at 7 and 8+w. The
+    7-column rims are zeros the taps never read — they exist so the kernel's
+    full-width DMA extents stay 8-aligned (Mosaic tiling) and the scratch
+    layout is identical to the in-kernel pad modes. One XLA pad pass; fuses
+    with the producing concat."""
+    return jnp.pad(xp, ((0, 0), (0, 0), (7, 7), (0, 0)))
+
+
 def _fused_kernel(
     x_hbm,      # (N, h_run, W, C) HBM, unpadded
     w_ref,      # (9, C, Cout) VMEM
@@ -587,18 +600,26 @@ def _fused_kernel(
     else:  # zero: content replaced by a select below; any in-bounds row
         t0, b0 = 0, logical_h - 1
 
+    # destination columns in the scratch: the data cols 8..8+w-1 for the
+    # in-kernel pad modes, or the FULL width for 'halo' mode, whose input
+    # already carries exchanged neighbor columns at cols 7 and 8+w (the
+    # spatial-sharding composition — see conv3x3_fused's docstring). Both
+    # extents are 8-multiples (w % 8 asserted by the plan), keeping the
+    # second-to-minor DMA dims tiling-aligned.
+    dcols = pl.ds(0, w + 16) if w_mode == "halo" else pl.ds(8, w)
+
     def row_dmas(bb, ii, slot):
         tsrc = jnp.where(ii == 0, t0, ii * th - 1)
         bsrc = jnp.where(ii == i_p, b0, ii * th + th)
         kdst = jnp.where(ii == i_p, k_last + 1, th + 1)
         top = pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(tsrc, 1)],
-            x_vmem.at[slot, pl.ds(0, 1), pl.ds(8, w)],
+            x_vmem.at[slot, pl.ds(0, 1), dcols],
             sems.at[slot, 0],
         )
         bot = pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(bsrc, 1)],
-            x_vmem.at[slot, pl.ds(kdst, 1), pl.ds(8, w)],
+            x_vmem.at[slot, pl.ds(kdst, 1), dcols],
             sems.at[slot, 1],
         )
         # main rows: the LAST logical tile loads only its k_last valid rows
@@ -607,12 +628,12 @@ def _fused_kernel(
         # buffer are never read)
         main_partial = pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(ii * th, k_last)],
-            x_vmem.at[slot, pl.ds(1, k_last), pl.ds(8, w)],
+            x_vmem.at[slot, pl.ds(1, k_last), dcols],
             sems.at[slot, 2],
         )
         main_full = pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(ii * th, th)],
-            x_vmem.at[slot, pl.ds(1, th), pl.ds(8, w)],
+            x_vmem.at[slot, pl.ds(1, th), dcols],
             sems.at[slot, 2],
         )
         return top, bot, main_partial, main_full, ii
@@ -673,10 +694,17 @@ def _fused_kernel(
         x = xf.astype(x_vmem.dtype)
 
     # W pad columns: taps only ever read cols 7..8+w of the scratch; col 7
-    # is the left SAME-pad column and col 8+w the right one. All three pad
-    # modes are vector selects on the loaded (post-prologue) value.
+    # is the left SAME-pad column and col 8+w the right one. The pad modes
+    # are vector selects on the loaded (post-prologue) value; 'halo' skips
+    # the synthesis — its input columns 7 and 8+w already hold the
+    # halo-exchanged neighbor values (and they went through the same
+    # prologue above, which is exact: the instance-norm affine is per-(N,C)
+    # GLOBAL over W, so neighbor columns transform identically on every
+    # shard).
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    if w_mode == "zero":
+    if w_mode == "halo":
+        pass
+    elif w_mode == "zero":
         x = jnp.where((col == 7) | (col == 8 + w), jnp.zeros_like(x), x)
     else:
         if w_mode == "wrap":
@@ -740,11 +768,23 @@ def conv3x3_fused(
     in-kernel halo assembly, an optional instance-norm+act prologue applied
     to the input, and optional per-(N, C) output moments.
 
+    ``w_mode``: 'wrap' | 'reflect' | 'zero' synthesize the SAME-pad columns
+    in-kernel; 'halo' consumes a PRE-PADDED ``(N, h_run, W+16, C)`` input
+    whose data sits at columns 8..8+W-1 with halo-exchanged neighbor columns
+    at 7 and 8+W (embed with ``embed_halo_w``) — the spatial-sharding
+    composition, where each shard's SAME pad is its ring neighbor's edge
+    column rather than a local wrap (parallel/spatial.py HaloCtx.pad_w
+    supplies the columns; moments must then be psum'd over the spatial axis
+    before ``instance_moments_to_affine``).
+
     Returns ``y`` of shape (N, h_run, W, Cout) — rows >= plan.logical_h are
     garbage (never read back by a fused consumer; slice them off after the
     chain) — plus ``(sum, sumsq)`` f32 (N, Cout) when ``want_moments``.
     """
     n, hr, w, c = x.shape
+    if w_mode == "halo":
+        w -= 16
+        assert w >= 8, f"halo-mode input width {w + 16} too narrow"
     kh, kw, cin, cout = kernel.shape
     assert (kh, kw) == (3, 3) and cin == c, (kernel.shape, x.shape)
     assert plan is not None
@@ -817,8 +857,9 @@ def conv3x3_fused(
         )
 
     flops = 2 * n * h * w * c * cout * 9
+    in_w = w + 16 if w_mode == "halo" else w  # halo mode reads the rim too
     bytes_accessed = (
-        n * h * w * c * x.dtype.itemsize
+        n * h * in_w * c * x.dtype.itemsize
         + w9.size * w9.dtype.itemsize
         + n * h * w * cout * x.dtype.itemsize
     )

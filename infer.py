@@ -87,9 +87,33 @@ def main(argv=None):
 
     from biasgan_tpu.data.transforms import standardize
 
-    use_fused = cfg.fused_blocks and n_spatial == 1 and cfg.netG.startswith(
-        "resnet"
-    )
+    fused_ok = cfg.fused_blocks and cfg.netG.startswith("resnet")
+    if cfg.fused_blocks and not fused_ok:
+        # the flag must never be silently ignored (a user benchmarking with
+        # it would otherwise time the plain path with no hint)
+        print(
+            f"--fused_blocks: ignored — netG {cfg.netG!r} has no resnet "
+            "block chain; using the plain path"
+        )
+    # single-chip: staged pre/blocks/post dispatch (measured optimum).
+    # sharded: the fused kernels compose with the halo exchange in-graph
+    # (w_mode='halo' + W-global psum moments) inside ONE spatial_apply jit.
+    use_fused = fused_ok and n_spatial == 1
+    if fused_ok and n_spatial > 1:
+        if jax.default_backend() == "tpu":
+            os.environ.setdefault("BIASGAN_FUSED_BLOCK", "1")
+            # block-resolution local width must be 8-aligned for the fused
+            # kernels (W / (2^downs * n_shards) % 8); widen the wrap pad —
+            # the rim is cropped after the forward
+            multiple = n_spatial * 2 ** generator_downs(cfg.netG) * 8
+        elif not os.environ.get("BIASGAN_FUSED_BLOCK"):
+            print(
+                "--fused_blocks: no TPU backend; using the XLA path "
+                "(set BIASGAN_FUSED_BLOCK=interpret to force the "
+                "interpret-mode kernels)"
+            )
+        else:
+            multiple = n_spatial * 2 ** generator_downs(cfg.netG) * 8
     if use_fused:
         # Fused-block single-chip path: the residual-block chain runs the
         # Pallas fused conv kernels (in-kernel SAME pad + instance-norm

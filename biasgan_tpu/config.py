@@ -80,14 +80,14 @@ class BaseConfig:
     aug_lon_roll: bool = False
     # generator output activation: 'tanh' (images) | 'none' (standardized fields)
     netG_activation: str = "tanh"
-    # fused resnet-block inference path (ops/pallas_conv.conv3x3_fused):
-    # route the residual-block chain through the Pallas fused conv kernels
-    # (in-kernel SAME pad + instance-norm prologue + in-kernel moments) and
-    # dispatch the generator as three jit calls (pre / blocks / post) so the
-    # opaque pallas calls never sit mid-graph (generators.ResNetGenerator
-    # ``stage``). Eligible: resnet G, instance norm, no dropout, eval mode,
-    # single chip (--spatial_mesh 1). Measured numbers: BASELINE.md r3
-    # fused-block section.
+    # fused resnet-block path (ops/pallas_conv.conv3x3_fused): route the
+    # residual-block chain through the Pallas fused conv kernels (in-kernel
+    # SAME pad + instance-norm prologue + in-kernel moments). infer.py:
+    # staged pre/blocks/post dispatch on one chip, or composed with
+    # --spatial_mesh (halo-fed pads, W-global moments). train.py: the convs
+    # run conv3x3_fused_t — same forward kernel + the exact custom VJP.
+    # Eligible: resnet G, instance norm, no dropout, W%8, C >= 128.
+    # Measured numbers: BASELINE.md fused-block sections.
     fused_blocks: bool = False
     # --- kernel-routing perf gates (perf_gates.py) ---
     # These were raw env vars in r3 (invisible to --help and the dumped

@@ -232,25 +232,27 @@ class ResNetBlock(nn.Module):
 
                 y0, m0 = convmod("conv0")(
                     exchange(x), ctx, fused_plan=fused_plan,
-                    want_moments=True, w_halo=True,
+                    want_moments=True, w_halo=True, fused_diff=train,
                 )
                 a0, b0 = instance_moments_to_affine(*gsum(m0), count)
                 y1, m1 = convmod("conv1")(
                     exchange(y0, edge_raw=-b0 / a0), ctx,
                     fused_plan=fused_plan,
                     prologue=(a0, b0), want_moments=True, w_halo=True,
+                    fused_diff=train,
                 )
                 a1, b1 = instance_moments_to_affine(*gsum(m1), count)
                 return apply_affine(y1, a1, b1) + x
 
             count = fused_plan.logical_h * x.shape[2]
             y0, m0 = convmod("conv0")(
-                x, ctx, fused_plan=fused_plan, want_moments=True
+                x, ctx, fused_plan=fused_plan, want_moments=True,
+                fused_diff=train,
             )
             a0, b0 = instance_moments_to_affine(*m0, count)
             y1, m1 = convmod("conv1")(
                 y0, ctx, fused_plan=fused_plan, prologue=(a0, b0),
-                want_moments=True,
+                want_moments=True, fused_diff=train,
             )
             a1, b1 = instance_moments_to_affine(*m1, count)
             return apply_affine(y1, a1, b1) + x
@@ -285,19 +287,22 @@ class ResNetGenerator(nn.Module):
     compute_dtype: Any = None
 
     def _fused_block_plan(self, h: Array, train: bool, ctx):
-        """Gate + plan for the fused resnet-block inference path
+        """Gate + plan for the fused resnet-block path
         (BIASGAN_FUSED_BLOCK=1 on TPU, =interpret for CPU tests): instance
-        norm, eval mode, no dropout, aligned LOCAL W, C >= 128. Composes
-        with spatial sharding (ctx = HaloCtx): pads become halo-exchanged
-        neighbor columns and moments are psum'd W-globally (the w_mode
-        'halo' path in ops/pallas_conv.py), so eligibility under ctx only
-        needs the per-shard width aligned."""
+        norm, no dropout, aligned LOCAL W, C >= 128. Training additionally
+        requires the BIASGAN_FUSED_TRAIN=1 opt-in (train.py --fused_blocks
+        sets it): the convs then run conv3x3_fused_t — same forward kernel
+        plus the exact custom VJP. Composes with spatial sharding
+        (ctx = HaloCtx): pads become halo-exchanged neighbor columns and
+        moments are psum'd W-globally (the w_mode 'halo' path in
+        ops/pallas_conv.py), so eligibility under ctx only needs the
+        per-shard width aligned."""
         import os
 
         fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
         if (
             not fb
-            or train
+            or (train and os.environ.get("BIASGAN_FUSED_TRAIN") != "1")
             or self.norm_type != "instance"
             or self.use_dropout
         ):

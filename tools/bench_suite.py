@@ -108,7 +108,16 @@ def bench_cyclegan(steps: int, batch: int = 8, dtype: str = "bfloat16"):
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
     a = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3))
     dt = _time_steps(step, state, {"A": a, "B": jnp.tanh(a)}, rng, steps)
-    return {"metric": "cyclegan_256_dual_G+D_step", "value": round(batch * steps / dt, 1),
+    import os
+
+    # fused-train A/B: BIASGAN_FUSED_BLOCK=1 BIASGAN_FUSED_TRAIN=1 routes
+    # the block convs through conv3x3_fused_t (the --fused_blocks training
+    # path); the metric name records which program was measured
+    fused = bool(os.environ.get("BIASGAN_FUSED_BLOCK")) and os.environ.get(
+        "BIASGAN_FUSED_TRAIN"
+    ) == "1"
+    name = "cyclegan_256_dual_G+D_step" + ("_fused_train" if fused else "")
+    return {"metric": name, "value": round(batch * steps / dt, 1),
             "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
 
 

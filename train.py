@@ -83,6 +83,11 @@ def main(argv=None):
             # gate (instance norm, no dropout, W%8, C>=128)
             os.environ.setdefault("BIASGAN_FUSED_BLOCK", "1")
             os.environ.setdefault("BIASGAN_FUSED_TRAIN", "1")
+            print(
+                "--fused_blocks: fused training path engaged "
+                "(conv3x3_fused_t; eligibility re-checked by the "
+                "generator gate)"
+            )
         else:
             print(
                 "--fused_blocks: no TPU backend; using the XLA path "

@@ -1001,13 +1001,18 @@ def _fused_diff_bwd(cfg, res, ct):
         u = xs
 
     def _valid_conv(yp, k_):
+        # Output in the COMPUTE dtype: jax's conv transpose rule requires the
+        # cotangent and operands to share a dtype, so a bf16 linearization
+        # with preferred_element_type=f32 fails to transpose (r4 TPU A/B
+        # found this; f32-only tests cannot). MXU accumulation is f32
+        # internally either way — this matches the unfused bf16 train path.
         return jax.lax.conv_general_dilated(
             yp,
             k_,
             (1, 1),
             "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=cdt,
         )
 
     if w_mode == "halo":
@@ -1040,7 +1045,7 @@ def _fused_diff_bwd(cfg, res, ct):
 
     # primal output of the vjp is dead -> DCE'd under jit
     _, pull = jax.vjp(lin, u, kernel.astype(cdt))
-    dU, dWc = pull(dYf)
+    dU, dWc = pull(dYf.astype(cdt))
     dW = dWc.astype(kernel.dtype)
     dbias = (
         jnp.sum(dYf, axis=(0, 1, 2)).astype(bias.dtype)

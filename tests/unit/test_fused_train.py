@@ -97,6 +97,45 @@ def test_fused_t_grads_match_autodiff(h_mode, w_mode, lh, prologue):
         )
 
 
+def test_fused_t_grads_bf16_compute():
+    """bf16 compute dtype through the custom VJP: the linearized pullback
+    must keep cotangent/operand dtypes consistent (jax's conv transpose rule
+    rejects a f32 cotangent against bf16 operands — the r4 TPU A/B failed at
+    trace time on exactly this; f32-only tests cannot catch it). Grads must
+    trace AND stay within bf16 tolerance of the f32 reference."""
+    n, lh, w, c = 2, 8, 16, 8
+    rng = np.random.RandomState(7)
+    plan = fused_block_plan(lh, w, c, c, jnp.bfloat16, interpret=True)
+    x32 = jnp.asarray(rng.randn(n, plan.h_run, w, c), jnp.float32)
+    k32 = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    a = jnp.asarray(1 + 0.1 * rng.randn(n, c), jnp.float32)
+    b = jnp.asarray(0.1 * rng.randn(n, c), jnp.float32)
+    gy = jnp.asarray(rng.randn(n, plan.h_run, w, c), jnp.float32)
+
+    def loss(x, k, bias, a, b, plan):
+        y, (s, q) = conv3x3_fused_t(
+            x, k, bias, prologue=(a, b), plan=plan,
+            h_mode="reflect", w_mode="wrap",
+        )
+        return (jnp.sum(y[:, :lh].astype(jnp.float32) * gy[:, :lh])
+                + jnp.sum(s) + 0.1 * jnp.sum(q))
+
+    gb = jax.grad(lambda x, k, bi, a, b: loss(
+        x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), bi, a, b, plan),
+        argnums=(0, 1, 2, 3, 4))(x32, k32, bias, a, b)
+    plan32 = fused_block_plan(lh, w, c, c, jnp.float32, interpret=True)
+    gf = jax.grad(lambda x, k, bi, a, b: loss(x, k, bi, a, b, plan32),
+                  argnums=(0, 1, 2, 3, 4))(x32, k32, bias, a, b)
+    for name, bv, fv in zip(("dx", "dk", "dbias", "da", "db"), gb, gf):
+        fv = np.asarray(fv)
+        np.testing.assert_allclose(
+            np.asarray(bv, np.float32), fv,
+            atol=0.05 * max(1.0, np.abs(fv).max()), rtol=0.1,
+            err_msg=name,
+        )
+
+
 def test_fused_t_garbage_tail_gets_zero_cotangent():
     """Rows >= logical_h of the h_run input are never read by the kernel, so
     their gradient must be exactly zero (the next chain link upstream relies

@@ -576,8 +576,8 @@ def embed_halo_w(xp: Array) -> Array:
 def _fused_kernel(
     x_hbm,      # (N, h_run, W, C) HBM, unpadded
     w_ref,      # (9, C, Cout) VMEM
-    a_ref,      # (1, C) f32 VMEM block or None  (prologue scale)
-    pb_ref,     # (1, C) f32 VMEM block or None  (prologue shift)
+    a_ref,      # (1, 1, C) f32 VMEM block or None  (prologue scale)
+    pb_ref,     # (1, 1, C) f32 VMEM block or None  (prologue shift)
     b_ref,      # (1, Cout) VMEM or None         (conv bias)
     out_ref,    # (1, TH, W, Cout) VMEM block
     sum_ref,    # (1, 1, Cout) f32 block or None
@@ -693,7 +693,7 @@ def _fused_kernel(
     x = x_vmem[slot]  # (TH+2, W+16, C)
 
     if a_ref is not None:
-        xf = x.astype(jnp.float32) * a_ref[0] + pb_ref[0]
+        xf = x.astype(jnp.float32) * a_ref[0, 0] + pb_ref[0, 0]
         if act_pre == "relu":
             xf = jnp.maximum(xf, 0.0)
         elif act_pre == "lrelu":
@@ -823,11 +823,18 @@ def conv3x3_fused(
     args = [x, w9]
     if prologue is not None:
         a, pb = prologue
+        # (N, 1, C) with block (1, 1, C): the last-two block dims equal the
+        # array's, which Mosaic accepts at ANY batch. A (1, C) block over an
+        # (N, C) array only lowers when N == 1 — found on hardware at the
+        # CycleGAN fused-train batch (N=16); interpret mode cannot catch it.
         spec_nc = pl.BlockSpec(
-            (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            (1, 1, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec_nc, spec_nc]
-        args += [a.astype(jnp.float32), pb.astype(jnp.float32)]
+        args += [
+            a.reshape(n, 1, c).astype(jnp.float32),
+            pb.reshape(n, 1, c).astype(jnp.float32),
+        ]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(bias.reshape(1, cout).astype(jnp.float32))
@@ -1219,7 +1226,7 @@ def _convt_kernel(
     if a_ref is not None:
         # prologue affine + act in the INPUT dtype — no f32 round-trip
         # (the measured f32 chain cost ~0.9 ms/layer of VPU time, r3 probe)
-        x = x * a_ref[0] + pb_ref[0]
+        x = x * a_ref[0, 0] + pb_ref[0, 0]
         if act_pre == "relu":
             x = jnp.maximum(x, jnp.zeros((), x.dtype))
         elif act_pre == "lrelu":
@@ -1365,12 +1372,17 @@ def convt3x3s2_fused(
     args = [x, w6]
     if prologue is not None:
         a, pb = prologue
+        # (N, 1, C) block (1, 1, C): see conv3x3_fused — a (1, C) block over
+        # (N, C) only lowers at N == 1.
         spec_nc = pl.BlockSpec(
-            (1, c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            (1, 1, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec_nc, spec_nc]
         # prologue math runs in the INPUT dtype (see _convt_kernel)
-        args += [a.astype(x.dtype), pb.astype(x.dtype)]
+        args += [
+            a.reshape(n, 1, c).astype(x.dtype),
+            pb.reshape(n, 1, c).astype(x.dtype),
+        ]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(
@@ -1562,7 +1574,7 @@ def _down_kernel(
         # prologue affine + act in the INPUT dtype (bf16 on the fast path):
         # no f32 round-trip — the downstream conv re-reads bf16 anyway, and
         # the measured f32 chain cost ~0.9 ms/layer of VPU time (r3 probe)
-        x = x * a_ref[0] + pb_ref[0]
+        x = x * a_ref[0, 0] + pb_ref[0, 0]
         if act_pre == "relu":
             x = jnp.maximum(x, jnp.zeros((), x.dtype))
         elif act_pre == "lrelu":
@@ -1713,14 +1725,16 @@ def conv3x3s2_fused(
     args = [xv, w6]
     if prologue is not None:
         a, pb = prologue
+        # (N, 1, 2C) block (1, 1, 2C): see conv3x3_fused — a (1, 2C) block
+        # over (N, 2C) only lowers at N == 1.
         spec_nc = pl.BlockSpec(
-            (1, 2 * c), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            (1, 1, 2 * c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec_nc, spec_nc]
         # prologue math runs in the INPUT dtype (see _down_kernel)
         args += [
-            jnp.tile(a.astype(x.dtype), (1, 2)),
-            jnp.tile(pb.astype(x.dtype), (1, 2)),
+            jnp.tile(a.astype(x.dtype), (1, 2)).reshape(n, 1, 2 * c),
+            jnp.tile(pb.astype(x.dtype), (1, 2)).reshape(n, 1, 2 * c),
         ]
     if bias is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))

@@ -121,19 +121,22 @@ def bench_cyclegan(steps: int, batch: int = 8, dtype: str = "bfloat16"):
             "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
 
 
-def bench_globe(steps: int, dtype: str = "bfloat16", staged: bool = False):
+def bench_globe(steps: int, dtype: str = "bfloat16", staged: bool = False,
+                n_fields: int = 1):
     """Full-globe 721x1440 single-chip inference (resnet_9blocks G, 3ch),
     periodic longitude. ``staged`` runs stem+downs / blocks / ups+head as
     three separate jit calls (generators.py ``stage``) — the dispatch pattern
     the fused-block pallas path needs to avoid XLA's cross-region scheduling
-    penalty (async dispatch hides the extra enqueues)."""
+    penalty (async dispatch hides the extra enqueues). ``n_fields`` batches
+    N fields per dispatch (``infer.py --batch_size N``) — the Mpx/s is still
+    per field-set, i.e. total pixels / wall time."""
     from biasgan_tpu.nn import define_G, init_params
     from biasgan_tpu.parallel import pad_to_multiple
 
     G = define_G("resnet_9blocks", output_nc=3, ngf=64, norm="instance",
                  w_mode="wrap", compute_dtype={"bfloat16": jnp.bfloat16}.get(dtype),
                  out_activation="none")
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 721, 1440, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (n_fields, 721, 1440, 3))
     v = init_params(G, jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
 
     if staged:
@@ -162,21 +165,27 @@ def bench_globe(steps: int, dtype: str = "bfloat16", staged: bool = False):
         y = run(v, x)
     _sync(y)
     dt = (time.perf_counter() - t0) / steps
-    mpx = 721 * 1440 / dt / 1e6
+    mpx = n_fields * 721 * 1440 / dt / 1e6
     import os
 
     fused = bool(os.environ.get("BIASGAN_FUSED_BLOCK"))
     name = "globe_721x1440_inference" + ("_fused" if fused else "") + (
         "_staged" if staged else "")
-    return {"metric": name, "value": round(mpx, 1),
-            "unit": "Mpx/sec/chip", "dtype": dtype,
-            "ms_per_field": round(dt * 1e3, 1)}
+    rec = {"metric": name, "value": round(mpx, 1),
+           "unit": "Mpx/sec/chip", "dtype": dtype,
+           "ms_per_field": round(dt * 1e3 / n_fields, 1)}
+    if n_fields != 1:
+        rec["n_fields"] = n_fields
+    return rec
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--configs", type=str, default="tiny,paired128,cyclegan256,globe")
+    ap.add_argument("--globe_batch", type=int, default=1,
+                    help="fields per dispatch for the globe configs "
+                    "(field-batching probe; infer.py --batch_size N)")
     args = ap.parse_args()
     for c in args.configs.split(","):
         if c == "tiny":
@@ -188,9 +197,10 @@ def main():
         elif c == "cyclegan256":
             r = bench_cyclegan(args.steps)
         elif c == "globe":
-            r = bench_globe(max(args.steps // 4, 3))
+            r = bench_globe(max(args.steps // 4, 3), n_fields=args.globe_batch)
         elif c == "globe_staged":
-            r = bench_globe(max(args.steps // 4, 3), staged=True)
+            r = bench_globe(max(args.steps // 4, 3), staged=True,
+                            n_fields=args.globe_batch)
         else:
             raise SystemExit(f"unknown config {c}")
         print(json.dumps(r), flush=True)

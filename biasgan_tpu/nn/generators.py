@@ -210,7 +210,13 @@ class ResNetBlock(nn.Module):
                     halo carries the RAW conv output — so the edge value
                     must be the pre-image of post-prologue zero, i.e. the
                     instance mean -b/a (ReLU then keeps the 0). ppermute's
-                    zero-fill is only correct for the un-prologue'd conv."""
+                    zero-fill is only correct for the un-prologue'd conv.
+                    Precision note: the preimage is cast to the compute
+                    dtype, so post-prologue the edge column is a*cast(-b/a)
+                    + b ~= O(|b| * eps_dtype), not exactly 0 — in bf16 a
+                    ~0.4%-of-|b| seam confined to the two GLOBAL edge
+                    columns (in-kernel 'zero' mode selects an exact 0).
+                    Only non-periodic W reaches this; climate fields wrap."""
                     hp = ctx.pad_w(h, 1, 1)
                     if edge_raw is not None and not ctx.periodic:
                         r = jax.lax.axis_index(ctx.axis)
@@ -301,7 +307,7 @@ class ResNetGenerator(nn.Module):
 
         fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
         if (
-            not fb
+            fb in ("", "0")  # "0" = explicit off (perf-gate convention)
             or (train and os.environ.get("BIASGAN_FUSED_TRAIN") != "1")
             or self.norm_type != "instance"
             or self.use_dropout
@@ -334,7 +340,8 @@ class ResNetGenerator(nn.Module):
         import os
 
         fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
-        if not fb or train or self.norm_type != "instance" or ctx is not None:
+        if (fb in ("", "0") or train or self.norm_type != "instance"
+                or ctx is not None):
             return None
         if fb != "interpret" and jax.default_backend() != "tpu":
             return None

@@ -12,7 +12,12 @@ set). They are now ``BaseConfig`` fields (``--pallas_conv``,
 EXPLICIT overrides so tests and ad-hoc benches can force a gate open or
 closed without building a config object. Priority, per knob:
 
-    env var (if set, even to "0"/"")  >  config flag  >  measured default
+    env var  >  config flag  >  measured default
+
+where "set" means: string knobs (BIASGAN_PALLAS_CONV) override with any
+value including "" (= off); boolean knobs override with any value, ""/"0"/
+"false" meaning off; integer knobs override with any non-empty value (an
+empty string has no integer reading and falls through to the config flag).
 
 All accessors are read at TRACE time only (layers/generators gate decisions),
 never per-op at runtime, so the env lookups cost nothing on the hot path.
@@ -130,3 +135,36 @@ def convt_d2s() -> bool:
 def force_pallas_norm() -> bool:
     v = _env_bool("BIASGAN_FORCE_PALLAS_NORM")
     return v if v is not None else _active.force_pallas_norm
+
+
+def fused_blocks_engage(train: bool = False) -> bool:
+    """Driver-side ``--fused_blocks`` engagement, shared by train.py and
+    infer.py (previously triplicated and drifting). Opens the
+    BIASGAN_FUSED_BLOCK env gate — the generator's trace-time opt-in — on a
+    TPU backend, or honors an explicit env value ('interpret' for CPU
+    drives, '0' to force off). Prints the standard fallback notice when the
+    kernels cannot engage, so the flag is never silently ignored (advisor
+    r3). Returns True when the fused kernels MAY engage; per-layer
+    eligibility (instance norm, no dropout, W%8, C >= fused_min_c) is still
+    re-checked by the generator gate. ``train=True`` also opens
+    BIASGAN_FUSED_TRAIN (the conv3x3_fused_t VJP path)."""
+    import jax
+
+    fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
+    if fb == "0":
+        print(
+            "--fused_blocks: BIASGAN_FUSED_BLOCK=0 in the environment "
+            "explicitly disables the kernels; using the XLA path"
+        )
+        return False
+    if fb or jax.default_backend() == "tpu":
+        os.environ.setdefault("BIASGAN_FUSED_BLOCK", "1")
+        if train:
+            os.environ.setdefault("BIASGAN_FUSED_TRAIN", "1")
+        return True
+    print(
+        "--fused_blocks: no TPU backend; using the XLA path "
+        "(set BIASGAN_FUSED_BLOCK=interpret to force the "
+        "interpret-mode kernels)"
+    )
+    return False

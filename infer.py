@@ -99,20 +99,16 @@ def main(argv=None):
     # sharded: the fused kernels compose with the halo exchange in-graph
     # (w_mode='halo' + W-global psum moments) inside ONE spatial_apply jit.
     use_fused = fused_ok and n_spatial == 1
-    if fused_ok and n_spatial > 1:
-        if jax.default_backend() == "tpu":
-            os.environ.setdefault("BIASGAN_FUSED_BLOCK", "1")
+    if fused_ok:
+        from biasgan_tpu import perf_gates
+
+        if perf_gates.fused_blocks_engage():
             # block-resolution local width must be 8-aligned for the fused
-            # kernels (W / (2^downs * n_shards) % 8); widen the wrap pad —
-            # the rim is cropped after the forward
-            multiple = n_spatial * 2 ** generator_downs(cfg.netG) * 8
-        elif not os.environ.get("BIASGAN_FUSED_BLOCK"):
-            print(
-                "--fused_blocks: no TPU backend; using the XLA path "
-                "(set BIASGAN_FUSED_BLOCK=interpret to force the "
-                "interpret-mode kernels)"
-            )
-        else:
+            # kernels (W / (2^downs * n_shards) % 8) — on the sharded AND
+            # the single-chip staged path (previously only the sharded
+            # branch widened, so an unaligned single-chip width silently
+            # timed the plain path); widen the wrap pad — the rim is
+            # cropped after the forward
             multiple = n_spatial * 2 ** generator_downs(cfg.netG) * 8
     if use_fused:
         # Fused-block single-chip path: the residual-block chain runs the
@@ -124,19 +120,9 @@ def main(argv=None):
         # r3 fused-block section; async dispatch hides the extra enqueues).
         # Kernel engagement is still the generator's own eligibility gate
         # (instance norm, no dropout, W%8, C>=128) — ineligible configs run
-        # this staged dispatch on the plain XLA path, same numerics.
-        if jax.default_backend() == "tpu":
-            os.environ.setdefault("BIASGAN_FUSED_BLOCK", "1")
-        elif not os.environ.get("BIASGAN_FUSED_BLOCK"):
-            # off-TPU the generator gate would need interpret-mode Pallas,
-            # which is orders of magnitude slower than XLA's CPU convs on a
-            # real field — keep the plain path (tests opt into interpret
-            # explicitly via the env var)
-            print(
-                "--fused_blocks: no TPU backend; using the XLA path "
-                "(set BIASGAN_FUSED_BLOCK=interpret to force the "
-                "interpret-mode kernels)"
-            )
+        # this staged dispatch on the plain XLA path, same numerics. The
+        # env gate itself was opened (or the fallback notice printed) by
+        # perf_gates.fused_blocks_engage above.
         from functools import partial
 
         @jax.jit

@@ -105,3 +105,44 @@ def test_help_lists_gate_flags(capsys):
         "--force_pallas_norm",
     ):
         assert flag in out, flag
+
+
+def test_fused_blocks_engage_explicit_off(monkeypatch, capsys):
+    """BIASGAN_FUSED_BLOCK=0 is an explicit off that wins over the flag and
+    prints a notice (never silently ignored — advisor r3)."""
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "0")
+    assert perf_gates.fused_blocks_engage() is False
+    assert "explicitly disables" in capsys.readouterr().out
+    # the generator gate treats "0" the same way
+    import os
+    assert os.environ["BIASGAN_FUSED_BLOCK"] == "0"  # helper must not mutate
+
+
+def test_fused_blocks_engage_no_tpu_notice(monkeypatch, capsys):
+    """Off-TPU with no env opt-in: plain path + the interpret-mode hint, and
+    the env gate stays unset (XLA path)."""
+    import os
+
+    monkeypatch.delenv("BIASGAN_FUSED_BLOCK", raising=False)
+    import jax
+
+    if jax.default_backend() == "tpu":  # pragma: no cover - CPU CI mesh
+        import pytest
+
+        pytest.skip("test requires a non-TPU backend")
+    assert perf_gates.fused_blocks_engage() is False
+    assert "no TPU backend" in capsys.readouterr().out
+    assert "BIASGAN_FUSED_BLOCK" not in os.environ
+
+
+def test_fused_blocks_engage_interpret_train(monkeypatch):
+    """An explicit interpret opt-in engages, and train=True also opens the
+    conv3x3_fused_t VJP gate."""
+    import os
+
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "interpret")
+    monkeypatch.delenv("BIASGAN_FUSED_TRAIN", raising=False)
+    assert perf_gates.fused_blocks_engage(train=True) is True
+    assert os.environ["BIASGAN_FUSED_BLOCK"] == "interpret"
+    assert os.environ["BIASGAN_FUSED_TRAIN"] == "1"
+    monkeypatch.delenv("BIASGAN_FUSED_TRAIN", raising=False)

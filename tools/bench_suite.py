@@ -113,9 +113,9 @@ def bench_cyclegan(steps: int, batch: int = 8, dtype: str = "bfloat16"):
     # fused-train A/B: BIASGAN_FUSED_BLOCK=1 BIASGAN_FUSED_TRAIN=1 routes
     # the block convs through conv3x3_fused_t (the --fused_blocks training
     # path); the metric name records which program was measured
-    fused = bool(os.environ.get("BIASGAN_FUSED_BLOCK")) and os.environ.get(
-        "BIASGAN_FUSED_TRAIN"
-    ) == "1"
+    fused = os.environ.get("BIASGAN_FUSED_BLOCK", "") not in ("", "0") and (
+        os.environ.get("BIASGAN_FUSED_TRAIN") == "1"
+    )
     name = "cyclegan_256_dual_G+D_step" + ("_fused_train" if fused else "")
     return {"metric": name, "value": round(batch * steps / dt, 1),
             "unit": "samples/sec/chip", "dtype": dtype, "batch": batch}
@@ -168,7 +168,7 @@ def bench_globe(steps: int, dtype: str = "bfloat16", staged: bool = False,
     mpx = n_fields * 721 * 1440 / dt / 1e6
     import os
 
-    fused = bool(os.environ.get("BIASGAN_FUSED_BLOCK"))
+    fused = os.environ.get("BIASGAN_FUSED_BLOCK", "") not in ("", "0")
     name = "globe_721x1440_inference" + ("_fused" if fused else "") + (
         "_staged" if staged else "")
     rec = {"metric": name, "value": round(mpx, 1),

@@ -67,32 +67,21 @@ def main(argv=None):
         # cadence of --check_finite)
         jax.config.update("jax_debug_nans", True)
     if getattr(cfg, "fused_blocks", False):
-        import jax
+        from biasgan_tpu import perf_gates
 
         if not cfg.netG.startswith("resnet"):
             print(
                 f"--fused_blocks: ignored — netG {cfg.netG!r} has no resnet "
                 "block chain; using the plain path"
             )
-        elif jax.default_backend() == "tpu" or os.environ.get(
-            "BIASGAN_FUSED_BLOCK"
-        ):
+        elif perf_gates.fused_blocks_engage(train=True):
             # training path: the block convs run conv3x3_fused_t (same
             # Pallas forward kernel + the exact custom VJP,
-            # ops/pallas_conv.py); eligibility is still the generator's own
-            # gate (instance norm, no dropout, W%8, C>=128)
-            os.environ.setdefault("BIASGAN_FUSED_BLOCK", "1")
-            os.environ.setdefault("BIASGAN_FUSED_TRAIN", "1")
+            # ops/pallas_conv.py)
             print(
                 "--fused_blocks: fused training path engaged "
                 "(conv3x3_fused_t; eligibility re-checked by the "
                 "generator gate)"
-            )
-        else:
-            print(
-                "--fused_blocks: no TPU backend; using the XLA path "
-                "(set BIASGAN_FUSED_BLOCK=interpret to force the "
-                "interpret-mode kernels)"
             )
     dataset = create_dataset(
         cfg, split="train" if getattr(cfg, "val_split", 0) > 0 else None

@@ -170,3 +170,33 @@ def test_dryrun_watchdog_kills_hanging_child(monkeypatch):
     assert "timed out after 2s" in msg
     # the tail names the dying stage
     assert "stage 0/8" in msg
+
+
+def test_dryrun_body_runs_green_4dev():
+    """The dryrun BODY itself, end to end on a real 4-device virtual mesh —
+    the cheapest n that still exercises stage 4 (the combined 2-D mesh needs
+    n >= 4). The hook-mechanics tests above fake the child; this one runs
+    it, so a body regression (e.g. the r4 env-restore loop that shadowed the
+    stage-3 variables pytree and nulled stage 4's input) fails the suite
+    instead of the driver's end-of-round MULTICHIP artifact. ~2-4 min: one
+    CPU subprocess, compile-dominated."""
+    env = dict(os.environ)
+    env["BIASGAN_PLATFORM"] = "cpu"
+    # exercise the save/restore path: stage 3b must put these back for 4-8
+    env["BIASGAN_FUSED_BLOCK"] = "interpret"
+    env["BIASGAN_FUSED_MIN_C"] = "1"
+    env.pop("BIASGAN_DRYRUN_LIVE", None)
+    p = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(4)",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=900,
+    )
+    assert p.returncode == 0, p.stdout[-4000:] + p.stderr[-2000:]
+    assert "all 8 stages OK" in p.stdout
+    assert "stage 4/8" in p.stdout

@@ -39,23 +39,53 @@ def _last_json_line(stdout):
     return json.loads(lines[-1])
 
 
-def test_bench_hanging_probe_fails_fast():
-    """A wedged tunnel (probe hang) must yield ONE diagnostic JSON line,
-    quickly, with no retry loop (the wedge outlives any retry budget)."""
+def test_bench_hanging_probe_outwaits_wedge():
+    """A wedged tunnel (probe hang) is OUTWAITED: the bench keeps re-probing
+    on the wedge backoff until BENCH_WEDGE_BUDGET wall clock is spent —
+    liveness lines on stderr — and only then emits ONE diagnostic JSON line
+    (VERDICT r4 item 1: giving up on the first hang lost the r4 artifact
+    even though the wedge clears in ~50 min)."""
     p = _run_bench(
         {
             "BENCH_PROBE_CMD": "sleep 60",
-            "BENCH_PROBE_TIMEOUT": "2",
-            "BENCH_PROBE_TRIES": "3",
-            "BENCH_PROBE_WAIT": "60",  # would blow the test timeout if retried
+            "BENCH_PROBE_TIMEOUT": "1",
+            "BENCH_WEDGE_BUDGET": "6",
+            "BENCH_WEDGE_WAIT": "1",
+            "BENCH_PROBE_WAIT": "60",  # fast-refusal path must not be taken
         },
         timeout=60,
     )
     assert p.returncode == 0, p.stderr
     rec = _last_json_line(p.stdout)
     assert rec["value"] == 0.0
-    assert "hung" in rec["error"]
+    assert "wedge" in rec["error"] and "hung" in rec["error"]
     assert rec["metric"] and rec["unit"] and "vs_baseline" in rec
+    # it kept probing across the budget, announcing each wait
+    assert p.stderr.count("waiting out wedge") >= 2
+    assert p.stderr.count("bench probe attempt") >= 3
+
+
+def test_bench_probe_recovers_mid_wedge(tmp_path, monkeypatch):
+    """A wedge that clears mid-budget is detected by the next re-probe and
+    the bench proceeds (probe returns None). First probe hangs and drops a
+    marker; the re-probe sees the marker and succeeds."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    marker = tmp_path / "wedge_cleared"
+    monkeypatch.setenv(
+        "BENCH_PROBE_CMD",
+        f"test -f {marker} && echo probe-ok || {{ touch {marker}; sleep 60; }}",
+    )
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "1")
+    monkeypatch.setenv("BENCH_WEDGE_BUDGET", "30")
+    monkeypatch.setenv("BENCH_WEDGE_WAIT", "1")
+    assert bench._probe_with_retry() is None
 
 
 def test_bench_refusing_probe_retries_then_diagnoses():

@@ -173,8 +173,8 @@ class ResNetBlock(nn.Module):
             return convmod(name)(h, ctx)
 
         if fused_plan is not None:
-            # Fused inference path (BIASGAN_FUSED_BLOCK=1, instance norm, no
-            # dropout): both convs run ops/pallas_conv.conv3x3_fused — SAME
+            # Fused inference path (perf_gates.fused_block(), instance norm,
+            # no dropout): both convs run ops/pallas_conv.conv3x3_fused — SAME
             # pad assembled in-kernel, norm0+ReLU applied as conv1's
             # prologue, per-(N,C) moments emitted by the kernels — so the
             # normalized activation and the pad copies never round-trip HBM.
@@ -293,22 +293,23 @@ class ResNetGenerator(nn.Module):
     compute_dtype: Any = None
 
     def _fused_block_plan(self, h: Array, train: bool, ctx):
-        """Gate + plan for the fused resnet-block path
-        (BIASGAN_FUSED_BLOCK=1 on TPU, =interpret for CPU tests): instance
-        norm, no dropout, aligned LOCAL W, C >= 128. Training additionally
-        requires the BIASGAN_FUSED_TRAIN=1 opt-in (train.py --fused_blocks
-        sets it): the convs then run conv3x3_fused_t — same forward kernel
-        plus the exact custom VJP. Composes with spatial sharding
-        (ctx = HaloCtx): pads become halo-exchanged neighbor columns and
-        moments are psum'd W-globally (the w_mode 'halo' path in
-        ops/pallas_conv.py), so eligibility under ctx only needs the
-        per-shard width aligned."""
-        import os
+        """Gate + plan for the fused resnet-block path (perf_gates
+        fused_block: '1' on TPU, 'interpret' for CPU tests — driven by
+        --fused_blocks via fused_blocks_engage, BIASGAN_FUSED_BLOCK env as
+        the test override): instance norm, no dropout, aligned LOCAL W,
+        C >= 128. Training additionally requires the fused_train opt-in
+        (train.py --fused_blocks sets it): the convs then run
+        conv3x3_fused_t — same forward kernel plus the exact custom VJP.
+        Composes with spatial sharding (ctx = HaloCtx): pads become
+        halo-exchanged neighbor columns and moments are psum'd W-globally
+        (the w_mode 'halo' path in ops/pallas_conv.py), so eligibility
+        under ctx only needs the per-shard width aligned."""
+        from biasgan_tpu import perf_gates
 
-        fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
+        fb = perf_gates.fused_block()
         if (
             fb in ("", "0")  # "0" = explicit off (perf-gate convention)
-            or (train and os.environ.get("BIASGAN_FUSED_TRAIN") != "1")
+            or (train and not perf_gates.fused_train())
             or self.norm_type != "instance"
             or self.use_dropout
         ):
@@ -318,8 +319,6 @@ class ResNetGenerator(nn.Module):
         if fb != "interpret" and jax.default_backend() != "tpu":
             return None
         _, hh, ww, cc = h.shape
-        from biasgan_tpu import perf_gates
-
         if cc < perf_gates.fused_min_c():
             return None
         from biasgan_tpu.ops.pallas_conv import fused_block_plan
@@ -332,14 +331,14 @@ class ResNetGenerator(nn.Module):
         return fused_block_plan(hh, ww, cc, cc, dt, fb == "interpret")
 
     def _fused_updown_plans(self, h: Array, train: bool, ctx, which: str):
-        """Gate + plans for the fused down/up paths (same BIASGAN_FUSED_BLOCK
+        """Gate + plans for the fused down/up paths (same fused_block
         opt-in as the block chain): ``which='down'`` takes the STEM INPUT
         shape and returns (down0, down1) conv3x3s2 plans; ``which='up'``
         takes the block-resolution shape and returns (up0, up1) convt plans.
         None -> XLA default path."""
-        import os
+        from biasgan_tpu import perf_gates
 
-        fb = os.environ.get("BIASGAN_FUSED_BLOCK", "")
+        fb = perf_gates.fused_block()
         if (fb in ("", "0") or train or self.norm_type != "instance"
                 or ctx is not None):
             return None
@@ -348,11 +347,9 @@ class ResNetGenerator(nn.Module):
         # The down/up kernels are a separate opt-in: measured r3 on the v5e
         # they LOSE to XLA at the globe shapes (pre 15.0 vs 9.8 ms, post
         # 11.7 vs 11.2 — BASELINE.md r3 fused-block section), unlike the
-        # block chain, so BIASGAN_FUSED_BLOCK alone keeps the measured
+        # block chain, so the fused_block gate alone keeps the measured
         # optimum (blocks-only). Interpret mode (CPU tests) exercises them
         # unconditionally.
-        from biasgan_tpu import perf_gates
-
         if fb != "interpret" and not perf_gates.fused_updown():
             return None
         # gate on the largest channel width in the chain (ngf*4), the same

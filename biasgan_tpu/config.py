@@ -103,6 +103,7 @@ class BaseConfig:
     s2d_min_m: int = 65536  # ... and min GEMM rows M = N*H*W
     convt_d2s: bool = False  # depth-to-space transposed-conv decomposition
     force_pallas_norm: bool = False  # fused Pallas instance-norm kernel
+    convt_onebuf: bool = False  # one-buffer periodic convT input staging
 
     def resolved_name(self) -> str:
         if self.suffix:

@@ -209,6 +209,64 @@ def _conv_s2d(
     return y.reshape(n, oh * f, ow * f, cout)
 
 
+def conv_s2d_full(xp: Array, kernel: Array, f: int) -> Array:
+    """Stride-1 VALID conv of pre-padded ``xp`` with ``kernel`` (HWIO, k x k)
+    computed ENTIRELY in space-to-depth form: input AND output live in
+    (H/f, W/f, f*f*C) space, so a tiny-channel k x k conv becomes ONE
+    MXU-shaped GEMM (e.g. the globe stem 7x7 3->64: K'=3x3, Kdim=432,
+    N=1024 — vs the raw form's Kdim=147, N=64 that leaves the emitter at
+    ~3% MFU, measured 6.2 ms @ 214 GB/s, tools/attrib_prepost.py r5).
+
+    Exact: the expanded kernel W'[qy,qx,(ry,rx,c),(oy,ox,g)] =
+    W[f*qy+ry-oy, f*qx+rx-ox, c, g] (zero outside [0,k)) regroups the same
+    taps; output blocks are depth-to-spaced back. Requires the VALID output
+    dims divisible by f. MAC count grows by the tap-support rounding
+    (~(k+f-1)^2/k^2 per axis pair) — the probe decides where the lane win
+    pays for it.
+    """
+    import numpy as np
+
+    k = kernel.shape[0]
+    n, Hp, Wp, C = xp.shape
+    F = kernel.shape[-1]
+    Ho, Wo = Hp - k + 1, Wp - k + 1
+    if Ho % f or Wo % f:
+        raise ValueError(f"conv_s2d_full: output {Ho}x{Wo} not /{f}")
+    ph, pw = (-Hp) % f, (-Wp) % f
+    if ph or pw:
+        xp = jnp.pad(xp, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    Hc, Wc = (Hp + ph) // f, (Wp + pw) // f
+    xs = xp.reshape(n, Hc, f, Wc, f, C).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(n, Hc, Wc, f * f * C)
+    Kp = (k + f - 2) // f + 1
+    Hb, Wb = Ho // f, Wo // f
+    if Hc - Kp + 1 < Hb or Wc - Kp + 1 < Wb:
+        raise ValueError("conv_s2d_full: insufficient input cells")
+    # tap index along one axis: dy = f*qy + ry - oy, valid in [0, k)
+    iy = (
+        np.arange(Kp)[:, None, None] * f
+        + np.arange(f)[None, :, None]
+        - np.arange(f)[None, None, :]
+    )  # (qy, ry, oy)
+    my = (iy >= 0) & (iy < k)
+    iyc = np.clip(iy, 0, k - 1)
+    # broadcast to (qy, qx, ry, rx, c, oy, ox, g)
+    IY = iyc[:, None, :, None, None, :, None, None]
+    IX = iyc[None, :, None, :, None, None, :, None]
+    MY = my[:, None, :, None, None, :, None, None]
+    MX = my[None, :, None, :, None, None, :, None]
+    IC = np.arange(C)[None, None, None, None, :, None, None, None]
+    IG = np.arange(F)[None, None, None, None, None, None, None, :]
+    Wg = jnp.where(MY & MX, kernel[IY, IX, IC, IG], 0)
+    Wg = Wg.reshape(Kp, Kp, f * f * C, f * f * F)
+    ys = jax.lax.conv_general_dilated(
+        xs, Wg.astype(xs.dtype), (1, 1), "VALID", dimension_numbers=_DIMS
+    )
+    ys = ys[:, :Hb, :Wb]
+    y = ys.reshape(n, Hb, Wb, f, f, F).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, Ho, Wo, F)
+
+
 def _conv_valid(xp: Array, kernel: Array, stride: Tuple[int, int]) -> Array:
     return jax.lax.conv_general_dilated(
         xp, kernel, window_strides=stride, padding="VALID", dimension_numbers=_DIMS
@@ -521,13 +579,30 @@ def conv_transpose2d(
         # then equals the global dilation (+ trailing zeros, which land in
         # positions the zero-pad formula pads anyway and which complete the
         # period in the periodic case).
-        xd = jnp.zeros((n, h, w_local * sw, c), x.dtype).at[:, :, ::sw, :].set(x)
         pad_l = kw - 1 - pw  # left margin of the dilated signal
         pad_r = kw - 1 - pad_l  # == pw
-        if ctx is not None:
-            xd = ctx.pad_w(xd, pad_l, pad_r)
-        else:  # whole-field periodic
-            xd = _pad_axis(xd, 2, pad_l, pad_r, "wrap")
+        if ctx is None and _pg.convt_onebuf():
+            # One-buffer staging (--convt_onebuf): dilation AND the circular
+            # pad written into a single scatter buffer — the dilate-then-pad
+            # form materializes the double-width tensor twice (zeros+scatter,
+            # then the pad copy); this halves that input-staging traffic.
+            # A circular-pad column j holds dilated value d[(j-pad_l) % W2],
+            # nonzero only when that index is a multiple of sw.
+            W2 = w_local * sw
+            xd = jnp.zeros((n, h, pad_l + W2 + pad_r, c), x.dtype)
+            xd = xd.at[:, :, pad_l : pad_l + W2 : sw, :].set(x)
+            for j in list(range(pad_l)) + list(
+                range(pad_l + W2, pad_l + W2 + pad_r)
+            ):
+                src = (j - pad_l) % W2
+                if src % sw == 0:
+                    xd = xd.at[:, :, j, :].set(x[:, :, src // sw, :])
+        else:
+            xd = jnp.zeros((n, h, w_local * sw, c), x.dtype).at[:, :, ::sw, :].set(x)
+            if ctx is not None:
+                xd = ctx.pad_w(xd, pad_l, pad_r)
+            else:  # whole-field periodic
+                xd = _pad_axis(xd, 2, pad_l, pad_r, "wrap")
         y = jax.lax.conv_general_dilated(
             xd,
             kflip,

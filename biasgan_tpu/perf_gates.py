@@ -72,6 +72,11 @@ class PerfGates:
     # ceiling — BASELINE.md r4 section), so training stays a separate
     # explicit opt-in even when fused_block is open.
     fused_train: bool = False
+    # One-buffer transposed-conv input staging for the whole-field periodic
+    # (w_mode='wrap') path: W dilation + circular pad written as a SINGLE
+    # scatter buffer instead of dilate-then-pad (two full copies of the
+    # double-width tensor -> one).
+    convt_onebuf: bool = False
 
 
 _active = PerfGates()
@@ -183,6 +188,11 @@ def fused_block() -> str:
 def fused_train() -> bool:
     v = _env_bool("BIASGAN_FUSED_TRAIN")
     return v if v is not None else _active.fused_train
+
+
+def convt_onebuf() -> bool:
+    v = _env_bool("BIASGAN_CONVT_ONEBUF")
+    return v if v is not None else _active.convt_onebuf
 
 
 def fused_blocks_engage(train: bool = False) -> bool:

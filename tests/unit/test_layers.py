@@ -190,3 +190,47 @@ def test_tiny_channel_conv_under_vmap_and_bf16():
     vg = jax.vmap(jax.grad(f, argnums=1), in_axes=(0, None))(x, kern)
     assert vg.shape == (2, 4, 4, 3, 8)
     assert bool(jnp.all(jnp.isfinite(vg.astype(jnp.float32))))
+
+
+# ---------------------------------------------------------------------------
+# r5 globe pre/post levers (VERDICT r4 item 2): exactness of the candidate
+# reformulations against the plain lax forms
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "k,f,h,w,cin,cout",
+    [(7, 4, 20, 28, 3, 5), (3, 4, 16, 24, 4, 3), (7, 2, 12, 16, 3, 8),
+     (5, 4, 24, 16, 2, 4)],
+)
+def test_conv_s2d_full_exact(k, f, h, w, cin, cout):
+    """conv_s2d_full (input+output space-to-depth conv — the globe stem/head
+    reformulation) equals the raw VALID conv on the padded input."""
+    from biasgan_tpu.nn.layers import conv_s2d_full, pad_hw
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    p = k // 2
+    xp = pad_hw(x, (p, p), (p, p), "reflect", "wrap")
+    ref = jax.lax.conv_general_dilated(
+        xp, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = conv_s2d_full(xp, kern, f)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,s,p,op", [(3, 2, 1, 1), (4, 2, 1, 0)])
+def test_convt_onebuf_exact(k, s, p, op):
+    """--convt_onebuf (dilation + circular pad in ONE scatter buffer) is
+    bit-identical to the dilate-then-pad periodic conv-transpose."""
+    from biasgan_tpu import perf_gates
+    from biasgan_tpu.nn.layers import conv_transpose2d
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 9, 12, 4)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(k, k, 4, 6)).astype(np.float32))
+    ref = conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op), w_mode="wrap")
+    with perf_gates.overrides(convt_onebuf=True):
+        y = conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op), w_mode="wrap")
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Globe pre/post lever probes (VERDICT r4 item 2, attribution follow-up).
+
+tools/attrib_prepost.py measured the raw lax forms of the globe layers:
+stem 7x7 3->64 runs 6.2 ms at 214 GB/s and head 7x7 64->3 11.5 ms at 158
+GB/s — both far below the ~600 GB/s the 3x3 layers achieve, i.e. the 7x7
+tiny-channel convs are EMITTER-bound, not bandwidth-bound. This probes the
+candidate reformulations on hardware, parity-checked against the raw conv:
+
+  stem: raw | product (conv2d routing) | s2dfull f=4 (input AND output in
+        space-to-depth form: one VALID conv with K'=3, Kdim=432, N=1024)
+  head: raw | product (output-s2d f=4)  | s2dfull f=4
+  up1 : product convT wrap | +convt_onebuf | +convt_d2s
+
+Usage: python tools/probe_stem_head.py [--iters K] [--only substr]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import biasgan_tpu
+
+biasgan_tpu.respect_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biasgan_tpu import perf_gates
+from biasgan_tpu.nn.layers import (
+    conv2d,
+    conv_s2d_full,
+    conv_transpose2d,
+    pad_hw,
+)
+
+CD = jnp.bfloat16
+DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def timeit(fn, x, iters):
+    out = fn(x)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)[0]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)[0]))
+    return (time.perf_counter() - t0) / iters
+
+
+def parity(name, y, ref, tol=3e-2):
+    a = np.asarray(y, np.float32)
+    b = np.asarray(ref, np.float32)
+    d = np.abs(a - b).max()
+    s = max(np.abs(b).max(), 1e-6)
+    ok = d <= tol * s
+    print(f"  parity {name}: max abs diff {d:.3e} (ref max {s:.3e})"
+          + ("" if ok else "  FAIL"), flush=True)
+    return ok
+
+
+def run_7x7(tag, cin, cout, h, w, iters, only):
+    if only and only not in tag:
+        return
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, h, w, cin), CD)
+    kern = (jax.random.normal(jax.random.PRNGKey(1), (7, 7, cin, cout))
+            * 0.05).astype(CD)
+    print(f"{tag} 7x7 {cin}->{cout} @{h}x{w}", flush=True)
+
+    def raw(x):
+        xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
+        return jax.lax.conv_general_dilated(
+            xp, kern, (1, 1), "VALID", dimension_numbers=DIMS
+        )
+
+    def product(x):
+        return conv2d(x, kern, None, (1, 1), (3, 3), "reflect", "wrap")
+
+    def s2dfull(x):
+        xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
+        return conv_s2d_full(xp, kern, 4)
+
+    ref = jax.jit(raw)(x)
+    variants = [("raw", raw), ("product", product), ("s2dfull f=4", s2dfull)]
+    for name, fn in variants:
+        j = jax.jit(fn)
+        y = j(x)
+        if name != "raw" and not parity(name, y, ref):
+            continue
+        t = timeit(j, x, iters)
+        print(f"  {name:12s}: {t*1e3:8.3f} ms", flush=True)
+
+
+def run_up1(iters, only):
+    if only and "up1" not in only and only != "":
+        if "up1" not in only:
+            return
+    h, w, cin, cout = 362, 720, 128, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, h, w, cin), CD)
+    kern = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout))
+            * 0.05).astype(CD)
+    print(f"up1 convT 3x3s2 {cin}->{cout} @{h}x{w}", flush=True)
+
+    def base(x):
+        return conv_transpose2d(x, kern, None, (2, 2), (1, 1), (1, 1),
+                                w_mode="wrap")
+
+    ref = jax.jit(base)(x)
+    t = timeit(jax.jit(base), x, iters)
+    print(f"  {'wrap dilate+pad':16s}: {t*1e3:8.3f} ms", flush=True)
+
+    with perf_gates.overrides(convt_onebuf=True):
+        j = jax.jit(lambda x: conv_transpose2d(
+            x, kern, None, (2, 2), (1, 1), (1, 1), w_mode="wrap"))
+        y = j(x)
+        if parity("onebuf", y, ref):
+            t = timeit(j, x, iters)
+            print(f"  {'onebuf':16s}: {t*1e3:8.3f} ms", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+    print(f"backend={jax.default_backend()}", flush=True)
+    run_7x7("stem", 3, 64, 724, 1440, args.iters, args.only)
+    run_7x7("head", 64, 3, 724, 1440, args.iters, args.only)
+    if not args.only or "up1" in args.only:
+        run_up1(args.iters, args.only)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,8 +86,38 @@ def run_7x7(tag, cin, cout, h, w, iters, only):
         xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
         return conv_s2d_full(xp, kern, 4)
 
+    def im2col(x):
+        # 49 static slices stacked on channel -> one 1x1 conv (GEMM
+        # M=H*W, K=49*cin, N=cout). Only sane for tiny cin (the stem).
+        xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
+        cols = [
+            xp[:, dy : dy + h, dx : dx + w, :]
+            for dy in range(7)
+            for dx in range(7)
+        ]
+        xi = jnp.concatenate(cols, axis=-1)
+        # kernel tap order must match the slice order (dy, dx, cin)
+        kf = kern.reshape(1, 1, 49 * cin, cout)
+        return jax.lax.conv_general_dilated(
+            xi, kf, (1, 1), "VALID", dimension_numbers=DIMS
+        )
+
+    def cinpad(x, to):
+        xz = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, to - cin)))
+        kz = jnp.pad(kern, ((0, 0), (0, 0), (0, to - cin), (0, 0)))
+        xp = pad_hw(xz, (3, 3), (3, 3), "reflect", "wrap")
+        return jax.lax.conv_general_dilated(
+            xp, kz, (1, 1), "VALID", dimension_numbers=DIMS
+        )
+
     ref = jax.jit(raw)(x)
     variants = [("raw", raw), ("product", product), ("s2dfull f=4", s2dfull)]
+    if cin <= 8:
+        variants += [
+            ("im2col49", im2col),
+            ("cinpad8", lambda x: cinpad(x, 8)),
+            ("cinpad32", lambda x: cinpad(x, 32)),
+        ]
     for name, fn in variants:
         j = jax.jit(fn)
         y = j(x)

@@ -104,6 +104,7 @@ class BaseConfig:
     convt_d2s: bool = False  # depth-to-space transposed-conv decomposition
     force_pallas_norm: bool = False  # fused Pallas instance-norm kernel
     convt_onebuf: bool = False  # one-buffer periodic convT input staging
+    cin_pad: int = 8  # zero-pad tiny-cin convs to this (emitter-measured win)
 
     def resolved_name(self) -> str:
         if self.suffix:

@@ -360,6 +360,21 @@ def conv2d(
             "small for this network (torch would error here too; an empty "
             "output would silently turn loss means into NaN)"
         )
+    cp = _pg.cin_pad()
+    if (
+        0 < kernel.shape[2] < cp
+        and x.shape[0] * out_h * out_w_local >= _S2D_MIN_M()
+    ):
+        # Tiny-cin emitter fix (--cin_pad): zero-pad input channels up to
+        # cp — exact (zero channels contribute nothing; autodiff's pad
+        # transpose slices the grads back). Measured on the v5e: the globe
+        # stem 7x7 3->64 drops 6.07 -> 3.92 ms from this pad alone
+        # (tools/probe_stem_head.py r5); gated to the same M >= s2d_min_m
+        # regime as the other restructures so latency-bound tiny configs
+        # skip the extra channels.
+        pad_c = cp - kernel.shape[2]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
     x = pad_hw(x, (ph, ph), (pw, pw), h_mode, w_mode, ctx)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -72,6 +72,14 @@ class PerfGates:
     # ceiling — BASELINE.md r4 section), so training stays a separate
     # explicit opt-in even when fused_block is open.
     fused_train: bool = False
+    # Zero-pad tiny INPUT-channel convs up to this many channels (0 = off).
+    # The TPU conv emitter handles cin=8 far better than cin=3: the globe
+    # stem 7x7 3->64 measured 6.07 -> 3.92 ms (-35%) from the pad alone
+    # (tools/probe_stem_head.py r5). Exact math (zero channels contribute
+    # nothing); bf16 accumulation order shifts within tolerance. Applied
+    # only when the GEMM row count M >= s2d_min_m (same regime split as the
+    # other restructures).
+    cin_pad: int = 8
     # One-buffer transposed-conv input staging for the whole-field periodic
     # (w_mode='wrap') path: W dilation + circular pad written as a SINGLE
     # scatter buffer instead of dilate-then-pad (two full copies of the
@@ -193,6 +201,11 @@ def fused_train() -> bool:
 def convt_onebuf() -> bool:
     v = _env_bool("BIASGAN_CONVT_ONEBUF")
     return v if v is not None else _active.convt_onebuf
+
+
+def cin_pad() -> int:
+    v = _env_int("BIASGAN_CIN_PAD")
+    return v if v is not None else _active.cin_pad
 
 
 def fused_blocks_engage(train: bool = False) -> bool:

@@ -132,11 +132,13 @@ def main(argv=None):
             xp, _ = pad_to_multiple(xp, multiple, axis=2, mode="wrap")
             return g_module.apply(variables, xp, False, stage="pre")
 
-        @jax.jit
+        # the staged intermediates are single-use: donate them so XLA reuses
+        # their HBM pages instead of allocating fresh output buffers
+        @partial(jax.jit, donate_argnums=(1,))
         def run_blocks(variables, h):
             return g_module.apply(variables, h, False, stage="blocks")
 
-        @partial(jax.jit, static_argnames=("h0", "w0"))
+        @partial(jax.jit, static_argnames=("h0", "w0"), donate_argnums=(1,))
         def run_post(variables, h, b_mean, b_std, h0, w0):
             y = g_module.apply(variables, h, False, stage="post")
             return standardize(y[:, :h0, :w0, :], b_mean, b_std, inverse=True)

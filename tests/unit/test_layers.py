@@ -234,3 +234,32 @@ def test_convt_onebuf_exact(k, s, p, op):
     with perf_gates.overrides(convt_onebuf=True):
         y = conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op), w_mode="wrap")
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_cin_pad_exact():
+    """--cin_pad (zero-pad tiny input channels for the emitter) is exact:
+    fwd equal to the unpadded conv, grads equal through the pad transpose."""
+    from biasgan_tpu import perf_gates
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 20, 3)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(7, 7, 3, 6)).astype(np.float32))
+
+    def f(x, k, gate):
+        with perf_gates.overrides(cin_pad=gate, s2d_min_m=1, s2d_max_cout=0):
+            return conv2d(x, k, None, (1, 1), (3, 3), "reflect", "wrap")
+
+    ref = f(x, kern, 0)
+    y = f(x, kern, 8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def loss(x, k, gate):
+        return jnp.sum(jnp.tanh(f(x, k, gate)))
+
+    gx0, gk0 = jax.grad(loss, argnums=(0, 1))(x, kern, 0)
+    gx1, gk1 = jax.grad(loss, argnums=(0, 1))(x, kern, 8)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), rtol=2e-5, atol=2e-5)
+    # the weight-grad contraction reassociates with the extra channels:
+    # math-exact, not bit-exact (measured ~3e-5 abs on O(10) values)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), rtol=1e-4, atol=1e-4)
+    assert gx1.shape == x.shape and gk1.shape == kern.shape

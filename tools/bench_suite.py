@@ -142,7 +142,8 @@ def bench_globe(steps: int, dtype: str = "bfloat16", staged: bool = False,
     if staged:
         from functools import partial
 
-        @partial(jax.jit, static_argnames="stage")
+        # donate the single-use staged intermediates (infer.py does the same)
+        @partial(jax.jit, static_argnames="stage", donate_argnums=(1,))
         def run_stage(v, h, stage):
             return G.apply(v, h, False, stage=stage)
 

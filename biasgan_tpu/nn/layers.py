@@ -433,6 +433,7 @@ def _convt_d2s(
     stride: Tuple[int, int],
     padding: Tuple[int, int],
     output_padding: Tuple[int, int],
+    w_mode: str = "zero",
 ) -> Array:
     """Stride-s transposed conv as s*s phase convolutions in ONE dispatch +
     depth-to-space — the naive ``lhs_dilation`` form feeds s^2-1 zeros per
@@ -471,7 +472,13 @@ def _convt_d2s(
 
     ph_h, Lh, Th, plh, prh = axis(kh, sh, ph, out_h, x.shape[1])
     ph_w, Lw, Tw, plw, prw = axis(kw, sw, pw, out_w, x.shape[2])
-    xp = jnp.pad(x, ((0, 0), (plh, prh), (plw, prw), (0, 0)))
+    # Periodic W (globe longitude): the phases read x at ORIGINAL-space
+    # offsets, so a circular pad of x is exactly the periodic dilated
+    # signal (zeros between samples are inherent in the dilation either
+    # way). Phase decomposition then needs NO materialized W dilation at
+    # all — the r5 lever for the bandwidth-bound globe up convs.
+    xp = _pad_axis(x, 1, plh, prh, "zero")
+    xp = _pad_axis(xp, 2, plw, prw, "wrap" if w_mode == "wrap" else "zero")
     wz = jnp.zeros((Lh, Lw, cin, sh * sw * cout), kflip.dtype)
     for rh, (taps_h, _) in enumerate(ph_h):
         for rw, (taps_w, _) in enumerate(ph_w):
@@ -588,6 +595,17 @@ def conv_transpose2d(
                 f"in_width * stride (2p == k - s + op); got k={kw} s={sw} "
                 f"p={pw} op={opw}"
             )
+        if ctx is None and _pg.convt_d2s() and (sh > 1 or sw > 1):
+            out_h = (x.shape[1] - 1) * sh - 2 * ph + kh + oph
+            out_w = (x.shape[2] - 1) * sw - 2 * pw + kw + opw
+            if x.shape[0] * out_h * out_w >= _S2D_MIN_M():
+                # periodic phase decomposition: no materialized W dilation
+                y = _convt_d2s(
+                    x, kflip, stride, padding, output_padding, w_mode="wrap"
+                )
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y
         n, h, w_local, c = x.shape
         # Dilate W manually to w_local * sw with values at multiples of sw;
         # shard concatenation (or one period, in the whole-field wrap case)

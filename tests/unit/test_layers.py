@@ -263,3 +263,20 @@ def test_cin_pad_exact():
     # math-exact, not bit-exact (measured ~3e-5 abs on O(10) values)
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), rtol=1e-4, atol=1e-4)
     assert gx1.shape == x.shape and gk1.shape == kern.shape
+
+
+@pytest.mark.parametrize("k,s,p,op", [(3, 2, 1, 1), (4, 2, 1, 0)])
+def test_convt_d2s_wrap_exact(k, s, p, op):
+    """Periodic (wrap) phase-decomposed conv-transpose equals the manual
+    W-dilation path: the phases read x at original-space offsets, so a
+    circular pad of x IS the periodic dilated signal."""
+    from biasgan_tpu import perf_gates
+    from biasgan_tpu.nn.layers import conv_transpose2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 9, 12, 4)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(k, k, 4, 6)).astype(np.float32))
+    ref = conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op), w_mode="wrap")
+    with perf_gates.overrides(convt_d2s=True, s2d_min_m=1, s2d_max_cout=0):
+        y = conv_transpose2d(x, kern, None, (s, s), (p, p), (op, op), w_mode="wrap")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-5, atol=2e-5)

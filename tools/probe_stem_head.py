@@ -153,6 +153,14 @@ def run_up1(iters, only):
             t = timeit(j, x, iters)
             print(f"  {'onebuf':16s}: {t*1e3:8.3f} ms", flush=True)
 
+    with perf_gates.overrides(convt_d2s=True):
+        j = jax.jit(lambda x: conv_transpose2d(
+            x, kern, None, (2, 2), (1, 1), (1, 1), w_mode="wrap"))
+        y = j(x)
+        if parity("d2s_wrap", y, ref):
+            t = timeit(j, x, iters)
+            print(f"  {'d2s_wrap':16s}: {t*1e3:8.3f} ms", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()

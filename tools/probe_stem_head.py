@@ -110,6 +110,17 @@ def run_7x7(tag, cin, cout, h, w, iters, only):
             xp, kz, (1, 1), "VALID", dimension_numbers=DIMS
         )
 
+    def coutpad(x, to):
+        # zero-pad OUTPUT channels before the product routing: cout=3 only
+        # fills 48 of 128 lanes after output-s2d f=4 (3*16); cout=8 fills
+        # exactly 128. FLOPs grow to/cout x, but the layer runs at ~2% of
+        # peak FLOPs — the lane fill is the wall (symmetric twin of the
+        # cinpad stem win).
+        kz = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, to - cout)))
+        return conv2d(x, kz, None, (1, 1), (3, 3), "reflect", "wrap")[
+            ..., :cout
+        ]
+
     ref = jax.jit(raw)(x)
     variants = [("raw", raw), ("product", product), ("s2dfull f=4", s2dfull)]
     if cin <= 8:
@@ -118,6 +129,8 @@ def run_7x7(tag, cin, cout, h, w, iters, only):
             ("cinpad8", lambda x: cinpad(x, 8)),
             ("cinpad32", lambda x: cinpad(x, 32)),
         ]
+    if cout <= 8:
+        variants += [("coutpad8", lambda x: coutpad(x, 8))]
     for name, fn in variants:
         j = jax.jit(fn)
         y = j(x)

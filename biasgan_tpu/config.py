@@ -105,6 +105,7 @@ class BaseConfig:
     force_pallas_norm: bool = False  # fused Pallas instance-norm kernel
     convt_onebuf: bool = False  # one-buffer periodic convT input staging
     cin_pad: int = 8  # zero-pad tiny-cin convs to this (emitter-measured win)
+    conv7_pallas: str = ""  # ''|'1'|'interpret': Pallas 7x7 stem/head kernels
 
     def resolved_name(self) -> str:
         if self.suffix:

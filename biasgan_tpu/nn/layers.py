@@ -405,6 +405,25 @@ def conv2d(
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+    # Opt-in Pallas 7x7 tiny-channel-side path (--conv7_pallas /
+    # BIASGAN_CONV7): the resnet generator's stem (cin<=8 after cin_pad)
+    # and head (cout<=8) are EMITTER-bound in XLA (BASELINE.md r5
+    # attribution — 160-300 GB/s, 2-4 TF/s); the smallcin/smallcout kernels
+    # restructure the taps into full MXU passes (ops/pallas_conv7.py).
+    _c7 = _pg.conv7_pallas()
+    if (
+        _c7
+        and stride == (1, 1)
+        and (kh, kw) == (7, 7)
+        and padding == (3, 3)
+        and (kernel.shape[2] <= 8) != (kernel.shape[3] <= 8)
+        and x.shape[0] * out_h * out_w_local >= _S2D_MIN_M()
+        and ctx is None
+        and (_c7 == "interpret" or jax.default_backend() == "tpu")
+    ):
+        from biasgan_tpu.ops.pallas_conv7 import conv7x7_op
+
+        return conv7x7_op(x, kernel, bias, _c7 == "interpret")
     f = (
         _s2d_factor(kernel.shape[-1], out_h, out_w_local, x.shape[0])
         if stride == (1, 1)

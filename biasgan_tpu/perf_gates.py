@@ -80,6 +80,12 @@ class PerfGates:
     # only when the GEMM row count M >= s2d_min_m (same regime split as the
     # other restructures).
     cin_pad: int = 8
+    # Route eligible 7x7 stride-1 tiny-channel-side convs (the resnet
+    # generator's stem and head) through the Pallas smallcin/smallcout
+    # kernels (ops/pallas_conv7.py): '' = off, '1' = on (TPU),
+    # 'interpret' = CPU tests. The XLA emitter runs these EMITTER-bound
+    # (BASELINE.md r5 attribution); default decided by the whole-globe A/B.
+    conv7_pallas: str = ""
     # One-buffer transposed-conv input staging for the whole-field periodic
     # (w_mode='wrap') path: W dilation + circular pad written as a SINGLE
     # scatter buffer instead of dilate-then-pad (two full copies of the
@@ -201,6 +207,11 @@ def fused_train() -> bool:
 def convt_onebuf() -> bool:
     v = _env_bool("BIASGAN_CONVT_ONEBUF")
     return v if v is not None else _active.convt_onebuf
+
+
+def conv7_pallas() -> str:
+    v = _env("BIASGAN_CONV7")
+    return v if v is not None else _active.conv7_pallas
 
 
 def cin_pad() -> int:

@@ -108,6 +108,7 @@ def test_help_lists_gate_flags(capsys):
         "--pallas_conv", "--fused_updown", "--fused_min_c",
         "--s2d_max_cout", "--s2d_min_m", "--convt_d2s",
         "--force_pallas_norm", "--convt_onebuf", "--cin_pad",
+        "--conv7_pallas",
     ):
         assert flag in out, flag
 

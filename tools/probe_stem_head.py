@@ -110,6 +110,64 @@ def run_7x7(tag, cin, cout, h, w, iters, only):
             xp, kz, (1, 1), "VALID", dimension_numbers=DIMS
         )
 
+    def dxcol_7x1(x, cp):
+        # factor the 7x7 into (a) a dx-im2col packing the 7 column shifts
+        # on the channel axis (K = 7*cp) and (b) ONE (7,1) conv — the
+        # emitter accumulates the 7 dy taps in registers, each tap a
+        # K=7*cp, N=cout GEMM (vs the raw form's K=cp). Exact (pure
+        # reassociation). cp = cin zero-padded (lane fill, like cinpad).
+        xz = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - cin)))
+        kz = jnp.pad(kern, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
+        xp = pad_hw(xz, (3, 3), (3, 3), "reflect", "wrap")
+        xc = jnp.concatenate(
+            [xp[:, :, dx : dx + w, :] for dx in range(7)], axis=-1
+        )  # (n, h+6, w, 7*cp)
+        w2 = kz.reshape(7, 1, 7 * cp, cout)  # [dy, ., (dx,ci), g]
+        return jax.lax.conv_general_dilated(
+            xc, w2, (1, 1), "VALID", dimension_numbers=DIMS
+        )
+
+    def dycol_1x7(x, cp):
+        # mirror: dy-im2col (row shifts) + ONE (1,7) conv
+        xz = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - cin)))
+        kz = jnp.pad(kern, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
+        xp = pad_hw(xz, (3, 3), (3, 3), "reflect", "wrap")
+        xc = jnp.concatenate(
+            [xp[:, dy : dy + h, :, :] for dy in range(7)], axis=-1
+        )  # (n, h, w+6, 7*cp)
+        w2 = kz.transpose(1, 0, 2, 3).reshape(1, 7, 7 * cp, cout)
+        return jax.lax.conv_general_dilated(
+            xc, w2, (1, 1), "VALID", dimension_numbers=DIMS
+        )
+
+    def conv1x7_dycollapse(x, gp):
+        # head dual: ONE (1,7) conv to a FAT (dy,g) output (N = 7*gp wide
+        # lanes instead of cout=3), then a cheap 7-term shifted ADD
+        # collapses dy on the VPU. Exact.
+        kz = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, gp - cout)))
+        xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
+        w2 = kz.transpose(1, 2, 0, 3).reshape(1, 7, cin, 7 * gp)
+        t = jax.lax.conv_general_dilated(
+            xp, w2, (1, 1), "VALID", dimension_numbers=DIMS
+        )  # (n, h+6, w, 7*gp)
+        y = sum(
+            t[:, dy : dy + h, :, dy * gp : dy * gp + gp] for dy in range(7)
+        )
+        return y[..., :cout]
+
+    def conv7x1_dxcollapse(x, gp):
+        # mirror: (7,1) conv to (dx,g), collapse dx with W shifts
+        kz = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, gp - cout)))
+        xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
+        w2 = kz.transpose(0, 2, 1, 3).reshape(7, 1, cin, 7 * gp)
+        t = jax.lax.conv_general_dilated(
+            xp, w2, (1, 1), "VALID", dimension_numbers=DIMS
+        )  # (n, h, w+6, 7*gp)
+        y = sum(
+            t[:, :, dx : dx + w, dx * gp : dx * gp + gp] for dx in range(7)
+        )
+        return y[..., :cout]
+
     def coutpad(x, to):
         # zero-pad OUTPUT channels before the product routing: cout=3 only
         # fills 48 of 128 lanes after output-s2d f=4 (3*16); cout=8 fills
@@ -121,16 +179,30 @@ def run_7x7(tag, cin, cout, h, w, iters, only):
             ..., :cout
         ]
 
+    def pallas7(x):
+        # the Pallas smallcin/smallcout kernel (ops/pallas_conv7.py)
+        from biasgan_tpu.ops.pallas_conv7 import conv7x7_valid
+
+        xp = pad_hw(x, (3, 3), (3, 3), "reflect", "wrap")
+        return conv7x7_valid(xp, kern, None)
+
     ref = jax.jit(raw)(x)
-    variants = [("raw", raw), ("product", product), ("s2dfull f=4", s2dfull)]
+    variants = [("raw", raw), ("product", product), ("s2dfull f=4", s2dfull),
+                ("pallas7", pallas7)]
     if cin <= 8:
         variants += [
             ("im2col49", im2col),
             ("cinpad8", lambda x: cinpad(x, 8)),
             ("cinpad32", lambda x: cinpad(x, 32)),
+            ("dxcol_7x1 cp8", lambda x: dxcol_7x1(x, 8)),
+            ("dycol_1x7 cp8", lambda x: dycol_1x7(x, 8)),
         ]
     if cout <= 8:
-        variants += [("coutpad8", lambda x: coutpad(x, 8))]
+        variants += [
+            ("coutpad8", lambda x: coutpad(x, 8)),
+            ("conv1x7_dycol g8", lambda x: conv1x7_dycollapse(x, 8)),
+            ("conv7x1_dxcol g8", lambda x: conv7x1_dxcollapse(x, 8)),
+        ]
     for name, fn in variants:
         j = jax.jit(fn)
         y = j(x)
